@@ -1,0 +1,87 @@
+"""Typed experiment configuration.
+
+Preserves the reference's flag vocabulary (the ~25 quantization toggles a
+F8Net user knows: weight_format/input_format [wl, fl] pairs, format_from_metric
+vs format_grid_search, metric in {std,mae,rms}, per_layer/per_channel,
+rescale_type, double_side, weight_only, no_clipping, quant_bias,
+quant_avgpool/maxpool, pool_fusing, int_infer, integize, int_op_only,
+bn_calib_*, finetune_iters, normalize -- reference: myutils/config.py and the
+36 YAML files under apps/) but as frozen, hashable dataclasses so configs can
+be static arguments to jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """Quantization behavior knobs injected into every FXQ layer.
+
+    Mirrors the per-module config injection of the reference trainer
+    (fix_train.py:270-295).
+    """
+
+    weight_format: Tuple[int, int] = (8, 7)  # (word length, default fraclen)
+    input_format: Tuple[int, int] = (8, 6)
+    rescale_forward: bool = True  # linear layers
+    rescale_forward_conv: bool = False
+    rescale_type: str = "constant"  # or 'stddev'
+    format_type: str = "per_layer"  # or 'per_channel'
+    format_from_metric: bool = False
+    format_grid_search: bool = False
+    metric: str = "std"  # 'std' | 'mae' | 'rms'
+    momentum_for_metric: float = 0.1
+    no_clipping: bool = False
+    input_fraclen_sharing: bool = False
+    quant_bias: bool = False
+    int_infer: bool = False
+    int_op_only: bool = False
+    integize: bool = False
+    floating_model: bool = False  # clip-only float baseline
+    floating_wo_clip: bool = False  # plain FP32 baseline
+    normalize: bool = False  # ImageNet mean/std normalization (signed head input)
+    quant_avgpool: bool = False
+    quant_maxpool: bool = False
+    pool_fusing: bool = False
+    bn_momentum: float = 0.1
+    bn_eps: float = 1e-5
+
+    @property
+    def floating(self) -> bool:
+        return self.floating_model
+
+    def replace(self, **kw) -> "QuantConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Trainer-level knobs (optimizer, schedule, phases)."""
+
+    num_epochs: int = 150
+    batch_size: int = 2048
+    lr: float = 0.1
+    lr_scheduler: str = "cos_annealing_iter"
+    warmup_epochs: int = 5
+    momentum: float = 0.9
+    weight_decay: float = 4e-5
+    nesterov: bool = True
+    weight_decay_scheme: str = "all"
+    multistep_lr_milestones: Tuple[int, ...] = (30, 60, 90)
+    multistep_lr_gamma: float = 0.1
+    exp_decaying_lr_gamma: float = 0.98
+    exp_decaying_period: int = 1
+    finetune_iters: Optional[int] = None
+    bn_calib_before_test: bool = False
+    bn_calib_batch_num: int = -1
+    random_seed: int = 1995
+    num_classes: int = 1000
+    image_size: int = 224
+    topk: Tuple[int, ...] = (1, 5)
+    test_only: bool = False
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
