@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Headline benchmark: INT8 inference throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/s", "vs_baseline": R}
+where vs_baseline is the speedup of the int8 engine over the same topology
+executed as a plain bf16 CNN on the same chip (the reference publishes no
+throughput numbers -- BASELINE.md).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _time_fn(fn, *args, iters=10, warmup=2):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="resnet18")
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    from f8net_tpu.engine import IntEngine
+    from f8net_tpu.engine.baseline import plain_forward, plain_params
+    from f8net_tpu.models import get_model
+    from f8net_tpu.quant import bake_plan
+    from f8net_tpu.utils import QuantConfig
+
+    platform = jax.devices()[0].platform
+    cfg = QuantConfig(
+        format_from_metric=True,
+        metric="std",
+        quant_bias=True,
+        quant_avgpool=True,
+        pool_fusing=True,
+    )
+    model = get_model(args.model, cfg, num_classes=1000)
+    params, state = model.init(jax.random.PRNGKey(0))
+    plan, int_params = bake_plan(model, params, state)
+
+    eng = IntEngine(model, plan, int_params, int_only=True)
+    x = jnp.round(
+        255.0
+        * jax.random.uniform(
+            jax.random.PRNGKey(1), (args.batch, args.image_size, args.image_size, 3)
+        )
+    ).astype(jnp.int32)
+
+    t_int = _time_fn(eng, x, iters=args.iters)
+    ips_int = args.batch / t_int
+
+    fparams = plain_params(model, int_params)
+    bf16 = jax.jit(lambda p, v: plain_forward(model, p, v))
+    xb = (x.astype(jnp.float32) / 256.0).astype(jnp.bfloat16)
+    t_bf16 = _time_fn(bf16, fparams, xb, iters=args.iters)
+    ips_bf16 = args.batch / t_bf16
+
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.model}_int8_images_per_sec_1chip_{platform}",
+                "value": round(ips_int, 1),
+                "unit": "images/s",
+                "vs_baseline": round(ips_int / ips_bf16, 3),
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.model}_bf16_baseline_images_per_sec",
+                "value": round(ips_bf16, 1),
+                "unit": "images/s",
+                "vs_baseline": 1.0,
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Training stack: optimizer semantics, LR schedules, loop, checkpointing."""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f8net_tpu.models import get_model
+from f8net_tpu.train import (
+    Trainer,
+    load_checkpoint,
+    lr_schedule,
+    save_checkpoint,
+    sgd_init,
+    sgd_update,
+    weight_decay_mask,
+)
+from f8net_tpu.utils import QuantConfig
+from f8net_tpu.utils.config import TrainConfig
+
+CFG = QuantConfig(format_from_metric=True, metric="std")
+
+
+def test_sgd_matches_torch_semantics():
+    # single scalar parameter, compare against hand-stepped torch-SGD rule
+    p = {"l": {"w": jnp.asarray(1.0)}}
+    g = {"l": {"w": jnp.asarray(0.5)}}
+    mask = {"l": {"w": 0.1}}
+    st = sgd_init(p)
+    lr, mu = 0.1, 0.9
+    p1, st1 = sgd_update(p, g, st, lr, mask, momentum=mu, nesterov=True)
+    # g' = 0.5 + 0.1*1 = 0.6; buf = 0.6; d = 0.6 + 0.9*0.6 = 1.14
+    np.testing.assert_allclose(float(p1["l"]["w"]), 1.0 - 0.1 * 1.14, rtol=1e-6)
+    p2, _ = sgd_update(p1, g, st1, lr, mask, momentum=mu, nesterov=False)
+    # g' = 0.5 + 0.1*p1; buf = 0.9*0.6 + g'; d = buf
+    gp = 0.5 + 0.1 * float(p1["l"]["w"])
+    buf = 0.9 * 0.6 + gp
+    np.testing.assert_allclose(float(p2["l"]["w"]), float(p1["l"]["w"]) - 0.1 * buf, rtol=1e-6)
+
+
+def test_weight_decay_schemes():
+    model = get_model("mobilenet_v1", CFG, num_classes=10)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    dw_name = "stage_0_layer_0.body.0"  # depthwise conv
+    pw_name = "stage_0_layer_0.body.1"
+    m_all = weight_decay_mask(model.graph, params, "all", 1e-4)
+    assert m_all[dw_name]["w"] == 1e-4 and m_all[dw_name]["alpha"] == 1e-4
+    m_nd = weight_decay_mask(model.graph, params, "only_no_depthwise", 1e-4)
+    assert m_nd[dw_name]["w"] == 0.0 and m_nd[pw_name]["w"] == 1e-4
+    assert m_nd[dw_name]["gamma"] == 1e-4  # 1-D params keep decay
+    m_nb = weight_decay_mask(model.graph, params, "only_no_bn", 1e-4)
+    assert m_nb[dw_name]["w"] == 1e-4 and m_nb[dw_name]["gamma"] == 0.0
+    m_ndb = weight_decay_mask(model.graph, params, "no_depthwise_no_bn", 1e-4)
+    assert m_ndb[dw_name]["w"] == 0.0 and m_ndb[pw_name]["w"] == 1e-4
+    assert m_ndb[pw_name]["gamma"] == 0.0 and m_ndb["classifier"]["w"] == 1e-4
+
+
+def test_lr_schedules():
+    t = TrainConfig(num_epochs=10, warmup_epochs=2, batch_size=1024, lr_scheduler="cos_annealing_iter")
+    f = lr_schedule(t, steps_per_epoch=100)
+    # warmup starts at 256/bs and reaches ~1 at warmup end
+    np.testing.assert_allclose(f(0), 0.25)
+    assert f(199) < 1.0 <= f(200) + 1e-6
+    # cosine end reaches ~0
+    assert f(999) < 0.01
+    t2 = t.replace(lr_scheduler="multistep", multistep_lr_milestones=(3, 6), multistep_lr_gamma=0.1)
+    f2 = lr_schedule(t2, 100)
+    assert f2(0) == 1.0 and abs(f2(300) - 0.1) < 1e-12 and abs(f2(600) - 0.01) < 1e-12
+    t3 = t.replace(lr_scheduler="constant")
+    assert lr_schedule(t3, 100)(500) == 1.0
+    t4 = t.replace(lr_scheduler="exp_decaying_iter")
+    f4 = lr_schedule(t4, 100)
+    np.testing.assert_allclose(f4(999), math.exp(-8 * (999 - 200) / 800), rtol=1e-6)
+
+
+def _loader(rng, n_batches, bs=4, hw=24, classes=10):
+    out = []
+    for i in range(n_batches):
+        k1, k2, rng = jax.random.split(rng, 3)
+        out.append(
+            (
+                jax.random.uniform(k1, (bs, hw, hw, 3)),
+                jax.random.randint(k2, (bs,), 0, classes),
+            )
+        )
+    return out
+
+
+def test_trainer_overfits_tiny_batch():
+    tcfg = TrainConfig(
+        num_epochs=3, batch_size=4, lr=0.02, lr_scheduler="constant",
+        weight_decay=0.0, topk=(1,), num_classes=10,
+    )
+    model = get_model("resnet18", CFG, num_classes=10)
+    tr = Trainer(model, CFG, tcfg, log=lambda *a: None)
+    params, state, opt = tr.init(jax.random.PRNGKey(0))
+    batches = _loader(jax.random.PRNGKey(1), 2)
+    losses = []
+    for epoch in range(3):
+        params, state, opt, res = tr.run_epoch(
+            params, state, opt, batches, epoch, len(batches), "train"
+        )
+        losses.append(res["loss"])
+    assert losses[-1] < losses[0], losses
+    # eval runs
+    _, _, _, res = tr.run_epoch(params, state, opt, batches, 0, len(batches), "val")
+    assert "top1_error" in res
+
+
+def test_finetune_iters_cap():
+    tcfg = TrainConfig(num_epochs=1, batch_size=4, lr=0.0, lr_scheduler="constant",
+                       finetune_iters=1, topk=(1,))
+    model = get_model("mobilenet_v2", CFG, num_classes=10)
+    tr = Trainer(model, CFG, tcfg, log=lambda *a: None)
+    params, state, opt = tr.init(jax.random.PRNGKey(0))
+    batches = _loader(jax.random.PRNGKey(1), 5)
+    alpha0 = float(params["head"]["alpha"])  # train_step donates its inputs
+    params, state, opt, _ = tr.run_epoch(params, state, opt, batches, 0, 5, "train")
+    # lr 0 -> params unchanged (statistics-calibration-only finetuning)
+    np.testing.assert_allclose(float(params["head"]["alpha"]), alpha0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = get_model("resnet18", CFG, num_classes=10)
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt = sgd_init(params)
+    path = os.path.join(tmp_path, "latest_checkpoint")
+    save_checkpoint(
+        path,
+        {"params": params, "state": state, "opt_momentum": opt.momentum},
+        meta={"last_epoch": 7, "best_val": 0.31},
+    )
+    trees, meta = load_checkpoint(path)
+    assert meta["last_epoch"] == 7 and meta["best_val"] == 0.31
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params,
+        trees["params"],
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state,
+        trees["state"],
+    )
