@@ -35,13 +35,28 @@ from ..ops.fxp import fix_quant, shift_requant
 INT32_MAX = (1 << 31) - 1
 
 
-def _conv_int(x, w, spec: ConvBNSpec, accum_dtype=jnp.int32):
-    """int8 conv with int32 accumulation (maps onto the MXU on TPU)."""
+def _conv_int(x, w, spec: ConvBNSpec, accum_dtype=jnp.int32, pad_value: int = 0):
+    """int8 conv with int32 accumulation (maps onto the MXU on TPU).
+
+    pad_value != 0 pre-pads explicitly: with the zero-point repack
+    (s8 = u8 - 128) an unsigned zero is -128, not 0, so border taps must pad
+    with -128 for the folded compensation 128*colsum(w) to stay exact.
+    """
+    ph, pw = spec.padding
+    if pad_value != 0 and (ph or pw):
+        x = jnp.pad(
+            x,
+            [(0, 0), (ph, ph), (pw, pw), (0, 0)],
+            constant_values=x.dtype.type(pad_value),
+        )
+        padding = [(0, 0), (0, 0)]
+    else:
+        padding = [(ph, ph), (pw, pw)]
     return lax.conv_general_dilated(
         x,
         w,
         window_strides=spec.stride,
-        padding=[(spec.padding[0],) * 2, (spec.padding[1],) * 2],
+        padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=spec.groups,
         preferred_element_type=accum_dtype,
@@ -74,27 +89,43 @@ def _maxpool(x, kernel, stride, padding):
 class _Walker:
     """Shared graph walk for both engine dtypes."""
 
-    def __init__(self, model, plan, int_params, cfg, int_only: bool):
+    def __init__(self, model, plan, int_params, cfg, int_only: bool, int8_operands: bool = True):
         self.model = model
         self.graph = model.graph
         self.plan = plan
         self.params = int_params
         self.cfg = cfg
         self.int_only = int_only
+        self.int8_operands = int8_operands
 
     # -- integer path -------------------------------------------------------
 
     def conv_int(self, name, x, cur_fl):
-        """Requantize to the layer's 8-bit input format, then int8 conv."""
+        """Requantize to the layer's 8-bit input format, then int8 conv.
+
+        With int8_operands (the MXU path) unsigned activations in [0, 255]
+        are repacked as s8 = u8 - 128 and the compensation 128 * colsum(w) is
+        pre-folded into the bias ('b_zp') -- values and accumulation are
+        bit-identical to the int32 reference path.
+        """
         pl = self.plan[name]
         spec = self.graph[name]
         if cur_fl != pl.input_fl:
             x = shift_requant(x, 8, pl.input_fl, cur_fl, pl.input_symmetric)
-        # operands stay int32 in the XLA path: unsigned activations span
-        # [0, 255] which does not fit int8 (the Pallas kernels repack to 8 bit
-        # with a zero-point shift); values and accumulation are identical.
-        y = _conv_int(x, self.params[name]["w"].astype(jnp.int32), spec)
-        y = y + self.params[name]["b"]
+        p = self.params[name]
+        if self.int8_operands:
+            if pl.input_symmetric:
+                y = _conv_int(x.astype(jnp.int8), p["w"], spec) + p["b"]
+            else:
+                x8 = (x - 128).astype(jnp.int8)
+                b = p.get("b_zp")
+                if b is None:
+                    b = p["b"] + 128 * jnp.sum(
+                        p["w"].astype(jnp.int32), axis=(0, 1, 2)
+                    )
+                y = _conv_int(x8, p["w"], spec, pad_value=-128) + b
+        else:
+            y = _conv_int(x, p["w"].astype(jnp.int32), spec) + p["b"]
         return y, pl.out_fl
 
     # -- float-simulation path ---------------------------------------------
@@ -203,13 +234,24 @@ def _classifier(w: _Walker, x, fl):
     if w.int_only:
         if fl != pl.input_fl:
             x = shift_requant(x, 8, pl.input_fl, fl, pl.input_symmetric)
-        y = jnp.matmul(
-            x.astype(jnp.int32),
-            w.params["classifier"]["w"].astype(jnp.int32),
-            preferred_element_type=jnp.int32,
-        )
-        if "b" in w.params["classifier"]:
-            y = y + w.params["classifier"]["b"]
+        p = w.params["classifier"]
+        if w.int8_operands:
+            if pl.input_symmetric:
+                x8, b = x.astype(jnp.int8), p.get("b")
+            else:
+                x8 = (x - 128).astype(jnp.int8)
+                comp = 128 * jnp.sum(p["w"].astype(jnp.int32), axis=0)
+                b = p.get("b_zp", p.get("b", 0) + comp)
+            y = jnp.matmul(x8, p["w"], preferred_element_type=jnp.int32)
+        else:
+            y = jnp.matmul(
+                x.astype(jnp.int32),
+                p["w"].astype(jnp.int32),
+                preferred_element_type=jnp.int32,
+            )
+            b = p.get("b")
+        if b is not None:
+            y = y + b
         return y.astype(jnp.float32)
     q, _ = fix_quant(x, 8, float(pl.input_fl), 1, pl.input_symmetric)
     xi = jnp.round(q * 2.0**pl.input_fl)
@@ -221,11 +263,11 @@ def _classifier(w: _Walker, x, fl):
     return jnp.clip(y, -float(INT32_MAX), float(INT32_MAX))
 
 
-def int_forward(model, plan, int_params, x, cfg=None):
+def int_forward(model, plan, int_params, x, cfg=None, int8_operands: bool = True):
     """Integer-only forward.  `x` is the conditioned uint8-range input:
     round(255*image) as int32 (unnormalized pipeline, fraclen 8), or the
     head-quantized int for the normalized pipeline (fix_train.py:676-694)."""
-    return _forward(model, plan, int_params, x, cfg, int_only=True)
+    return _forward(model, plan, int_params, x, cfg, int_only=True, int8_operands=int8_operands)
 
 
 def float_sim_forward(model, plan, int_params, x, cfg=None):
@@ -233,9 +275,26 @@ def float_sim_forward(model, plan, int_params, x, cfg=None):
     return _forward(model, plan, int_params, x, cfg, int_only=False)
 
 
-def _forward(model, plan, int_params, x, cfg, int_only: bool):
+def add_zero_point_bias(model, plan, int_params):
+    """Pre-fold the unsigned-activation compensation 128*colsum(w) into a
+    'b_zp' entry for every layer with an unsigned (single-side) input."""
+    from ..nn.spec import LinearSpec
+
+    out = {}
+    for name, entry in int_params.items():
+        e = dict(entry)
+        pl = plan[name]
+        if not pl.input_symmetric:
+            axes = (0,) if isinstance(model.graph[name], LinearSpec) else (0, 1, 2)
+            comp = 128 * jnp.sum(entry["w"].astype(jnp.int32), axis=axes)
+            e["b_zp"] = entry.get("b", 0) + comp
+        out[name] = e
+    return out
+
+
+def _forward(model, plan, int_params, x, cfg, int_only: bool, int8_operands: bool = True):
     cfg = cfg or model.cfg
-    w = _Walker(model, plan, int_params, cfg, int_only)
+    w = _Walker(model, plan, int_params, cfg, int_only, int8_operands)
     fam = model.name
     head_pl = plan["head"]
 
@@ -304,16 +363,33 @@ def _forward(model, plan, int_params, x, cfg, int_only: bool):
 class IntEngine:
     """Jitted integer inference engine bound to a baked plan."""
 
-    def __init__(self, model, plan, int_params, cfg=None, int_only: bool = True):
+    def __init__(
+        self,
+        model,
+        plan,
+        int_params,
+        cfg=None,
+        int_only: bool = True,
+        int8_operands: bool = True,
+    ):
         self.model = model
         self.plan = plan
-        self.int_params = int_params
         self.cfg = cfg or model.cfg
         self.int_only = int_only
-        fwd = int_forward if int_only else float_sim_forward
-        self._jit = jax.jit(
-            lambda p, xx: fwd(self.model, self.plan, p, xx, self.cfg)
-        )
+        self.int8_operands = int8_operands
+        if int_only and int8_operands:
+            int_params = add_zero_point_bias(model, plan, int_params)
+        self.int_params = int_params
+        if int_only:
+            self._jit = jax.jit(
+                lambda p, xx: int_forward(
+                    self.model, self.plan, p, xx, self.cfg, int8_operands
+                )
+            )
+        else:
+            self._jit = jax.jit(
+                lambda p, xx: float_sim_forward(self.model, self.plan, p, xx, self.cfg)
+            )
 
     def __call__(self, x):
         return self._jit(self.int_params, x)

@@ -118,3 +118,13 @@ def test_normalized_pipeline_engine():
     y_int = np.asarray(eng_int(eng_int.condition_input(x)))
     y_sim = np.asarray(eng_sim(eng_sim.condition_input(x)))
     np.testing.assert_array_equal(y_int, y_sim)
+
+
+def test_int8_operands_bitexact_vs_int32():
+    """The MXU int8 path (zero-point repack) == the int32 reference path."""
+    model, params, state, x = _trained_model("mobilenet_v2", BASE)
+    plan, int_params = bake_plan(model, params, state)
+    e8 = IntEngine(model, plan, int_params, int_only=True, int8_operands=True)
+    e32 = IntEngine(model, plan, int_params, int_only=True, int8_operands=False)
+    xi = e8.condition_input(x)
+    np.testing.assert_array_equal(np.asarray(e8(xi)), np.asarray(e32(xi)))
