@@ -1,0 +1,136 @@
+// Native image preprocessing ops for the data pipeline.
+//
+// The CPU-heavy post-decode work (bilinear resize, crop, normalize, HWC
+// float conversion) as tight loops over uint8 buffers, plus a batched
+// entry point processing many images across a thread pool.  Exposed via
+// ctypes; the Python Loader uses these when libimageops.so is built,
+// falling back to PIL otherwise.
+//
+// Build: make -C csrc
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// Antialiased bilinear (triangle-filter) resize, PIL semantics: the filter
+// support scales with the downsampling ratio, weights are normalized per
+// output pixel, applied separably (horizontal then vertical) with float
+// intermediates.  uint8 HWC -> uint8 HWC.
+static inline float triangle(float x) {
+  x = std::fabs(x);
+  return x < 1.0f ? 1.0f - x : 0.0f;
+}
+
+static void resample_axis(const float* src, int slen, int other, int c,
+                          float* dst, int dlen, int64_t src_stride_axis,
+                          int64_t src_stride_other, int64_t dst_stride_axis,
+                          int64_t dst_stride_other) {
+  const float scale = (float)slen / dlen;
+  const float fscale = std::max(scale, 1.0f);
+  const float support = 1.0f * fscale;
+  std::vector<float> wts;
+  for (int i = 0; i < dlen; ++i) {
+    const float center = (i + 0.5f) * scale;
+    int lo = (int)std::floor(center - support);
+    int hi = (int)std::ceil(center + support);
+    lo = std::max(lo, 0);
+    hi = std::min(hi, slen);
+    wts.assign(hi - lo, 0.0f);
+    float wsum = 0.0f;
+    for (int j = lo; j < hi; ++j) {
+      float w = triangle((j + 0.5f - center) / fscale);
+      wts[j - lo] = w;
+      wsum += w;
+    }
+    if (wsum <= 0) wsum = 1.0f;
+    for (int o = 0; o < other; ++o) {
+      for (int ch = 0; ch < c; ++ch) {
+        float acc = 0.0f;
+        for (int j = lo; j < hi; ++j)
+          acc += wts[j - lo] *
+                 src[(int64_t)j * src_stride_axis + (int64_t)o * src_stride_other + ch];
+        dst[(int64_t)i * dst_stride_axis + (int64_t)o * dst_stride_other + ch] =
+            acc / wsum;
+      }
+    }
+  }
+}
+
+void resize_bilinear_u8(const uint8_t* src, int sh, int sw, uint8_t* dst,
+                        int dh, int dw, int c) {
+  std::vector<float> f0((int64_t)sh * sw * c);
+  for (int64_t i = 0; i < (int64_t)sh * sw * c; ++i) f0[i] = src[i];
+  // horizontal: sw -> dw
+  std::vector<float> f1((int64_t)sh * dw * c);
+  resample_axis(f0.data(), sw, sh, c, f1.data(), dw, c, (int64_t)sw * c, c,
+                (int64_t)dw * c);
+  // vertical: sh -> dh
+  std::vector<float> f2((int64_t)dh * dw * c);
+  resample_axis(f1.data(), sh, dw, c, f2.data(), dh, (int64_t)dw * c, c,
+                (int64_t)dw * c, c);
+  for (int64_t i = 0; i < (int64_t)dh * dw * c; ++i)
+    dst[i] = (uint8_t)std::min(std::max((int)std::lround(f2[i]), 0), 255);
+}
+
+// crop + convert to float32 in [0,1], optionally normalizing with mean/std
+void crop_normalize_f32(const uint8_t* src, int sh, int sw, int c, int y0,
+                        int x0, int size, float* dst, const float* mean,
+                        const float* std_, int do_norm) {
+  for (int y = 0; y < size; ++y) {
+    for (int x = 0; x < size; ++x) {
+      for (int ch = 0; ch < c; ++ch) {
+        float v = src[((int64_t)(y0 + y) * sw + (x0 + x)) * c + ch] / 255.0f;
+        if (do_norm) v = (v - mean[ch]) / std_[ch];
+        dst[((int64_t)y * size + x) * c + ch] = v;
+      }
+    }
+  }
+}
+
+// eval pipeline for one image: resize shorter side to `resize`, center crop
+void eval_preprocess_u8(const uint8_t* src, int sh, int sw, int c, int resize,
+                        int size, float* dst, const float* mean,
+                        const float* std_, int do_norm) {
+  int nh, nw;
+  if (sw < sh) {
+    nw = resize;
+    nh = std::max(1, (int)std::lround((double)sh * resize / sw));
+  } else {
+    nh = resize;
+    nw = std::max(1, (int)std::lround((double)sw * resize / sh));
+  }
+  std::vector<uint8_t> tmp((int64_t)nh * nw * c);
+  resize_bilinear_u8(src, sh, sw, tmp.data(), nh, nw, c);
+  crop_normalize_f32(tmp.data(), nh, nw, c, (nh - size) / 2, (nw - size) / 2,
+                     size, dst, mean, std_, do_norm);
+}
+
+// batched eval preprocessing across a thread pool.  srcs: array of pointers,
+// dims: [n][2] (h, w).  dst: n * size * size * c floats.
+void eval_preprocess_batch(const uint8_t** srcs, const int* dims, int n,
+                           int c, int resize, int size, float* dst,
+                           const float* mean, const float* std_, int do_norm,
+                           int num_threads) {
+  std::atomic<int> next(0);
+  auto work = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      eval_preprocess_u8(srcs[i], dims[2 * i], dims[2 * i + 1], c, resize,
+                         size, dst + (int64_t)i * size * size * c, mean, std_,
+                         do_norm);
+    }
+  };
+  int t = std::max(1, num_threads);
+  std::vector<std::thread> pool;
+  for (int i = 0; i < t; ++i) pool.emplace_back(work);
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

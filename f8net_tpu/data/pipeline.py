@@ -170,7 +170,14 @@ class Loader:
         if self.train:
             a = train_transform(img, rng, self.image_size, self.normalize)
         else:
-            a = eval_transform(img, self.image_size, normalize=self.normalize)
+            # shorter-side resize scales with crop size (256 for the
+            # reference's 224 crops)
+            a = eval_transform(
+                img,
+                self.image_size,
+                resize=int(self.image_size * 256 / 224),
+                normalize=self.normalize,
+            )
         return a, label
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -180,16 +187,43 @@ class Loader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.workers * 2)
         batches = [indices[i : i + self.bs] for i in range(0, len(indices), self.bs)]
 
+        use_native = False
+        if not self.train:
+            try:
+                from ..native import imageops_available
+
+                use_native = imageops_available()
+            except Exception:
+                use_native = False
+
         def worker(worker_id: int):
             rng = random.Random(self.seed * 1000003 + self.epoch * 97 + worker_id)
             for bi in range(worker_id, len(batches), self.workers):
                 batch = batches[bi]
-                imgs = np.empty(
-                    (len(batch), self.image_size, self.image_size, 3), np.float32
-                )
                 labels = np.empty((len(batch),), np.int32)
-                for j, i in enumerate(batch):
-                    imgs[j], labels[j] = self._load_one(int(i), rng)
+                if use_native:
+                    # C++ fast path: decode via PIL, then batched antialiased
+                    # resize + center-crop + normalize across native threads
+                    from ..native import c_eval_preprocess_batch
+
+                    raws = []
+                    for j, i in enumerate(batch):
+                        img, labels[j] = self.ds.load(int(i))
+                        raws.append(np.asarray(img.convert("RGB"), np.uint8))
+                    imgs = c_eval_preprocess_batch(
+                        raws,
+                        resize=int(self.image_size * 256 / 224),
+                        size=self.image_size,
+                        mean=IMAGENET_MEAN if self.normalize else None,
+                        std=IMAGENET_STD if self.normalize else None,
+                        num_threads=2,
+                    )
+                else:
+                    imgs = np.empty(
+                        (len(batch), self.image_size, self.image_size, 3), np.float32
+                    )
+                    for j, i in enumerate(batch):
+                        imgs[j], labels[j] = self._load_one(int(i), rng)
                 out_q.put((bi, imgs, labels))
             out_q.put((None, worker_id, None))
 

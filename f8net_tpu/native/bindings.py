@@ -1,0 +1,180 @@
+"""ctypes bindings for the native (C++) components in csrc/.
+
+Two libraries:
+  * libfxpref.so  -- golden fixed-point integer kernels (shift requant, int
+    conv/gemm, residual add, avgpool); an independent implementation used to
+    triangulate bit-exactness of the XLA and Pallas paths.
+  * libimageops.so -- threaded image preprocessing (bilinear resize, crop,
+    normalize) used by the data Loader's fast path.
+
+`build_native()` compiles on demand with make; all entry points degrade
+gracefully (raise RuntimeError naming the missing library) so the pure-JAX
+paths keep working without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "csrc")
+
+_libs = {}
+
+
+def build_native(quiet: bool = True) -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _CSRC, "all"],
+            check=True,
+            capture_output=quiet,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load(name: str) -> Optional[ctypes.CDLL]:
+    if name in _libs:
+        return _libs[name]
+    path = os.path.join(_CSRC, name)
+    if not os.path.exists(path):
+        build_native()
+    try:
+        _libs[name] = ctypes.CDLL(path)
+    except OSError:
+        _libs[name] = None
+    return _libs[name]
+
+
+def fxpref_available() -> bool:
+    return _load("libfxpref.so") is not None
+
+
+def imageops_available() -> bool:
+    return _load("libimageops.so") is not None
+
+
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_c = ctypes.c_int
+
+
+def _fxp() -> ctypes.CDLL:
+    lib = _load("libfxpref.so")
+    if lib is None:
+        raise RuntimeError("libfxpref.so not built (run make -C csrc)")
+    if not getattr(lib, "_sigs_set", False):
+        lib.shift_requant_i32.argtypes = [_i32p, _i32p, ctypes.c_int64, _c, _c, _c, _c]
+        lib.conv2d_int.argtypes = [_i32p, _i8p, ctypes.c_void_p, _i32p] + [_c] * 11
+        lib.residual_add_int.argtypes = [_i32p, _c, _i32p, _c, _i32p, ctypes.c_int64]
+        lib.avgpool_sum_int.argtypes = [_i32p, _i32p, _c, _c, _c, _c]
+        lib.gemm_int8.argtypes = [_i8p, _i8p, ctypes.c_void_p, _i32p, _c, _c, _c]
+        lib._sigs_set = True
+    return lib
+
+
+def c_shift_requant(x: np.ndarray, wl: int, fl: int, input_fl: int, signed: bool) -> np.ndarray:
+    lib = _fxp()
+    x = np.ascontiguousarray(x, np.int32)
+    out = np.empty_like(x)
+    lib.shift_requant_i32(
+        x.ravel(), out.ravel(), ctypes.c_int64(x.size),
+        wl, fl, input_fl, int(signed),
+    )
+    return out
+
+
+def c_conv2d_int(
+    x: np.ndarray, w: np.ndarray, bias: Optional[np.ndarray],
+    stride=(1, 1), padding=(0, 0), groups: int = 1,
+) -> np.ndarray:
+    """x int32 NHWC, w int8 HWIO -> int32 NHWC."""
+    lib = _fxp()
+    x = np.ascontiguousarray(x, np.int32)
+    w = np.ascontiguousarray(w, np.int8)
+    N, H, W, C = x.shape
+    kh, kw, _, O = w.shape
+    ho = (H + 2 * padding[0] - kh) // stride[0] + 1
+    wo = (W + 2 * padding[1] - kw) // stride[1] + 1
+    y = np.empty((N, ho, wo, O), np.int32)
+    b = np.ascontiguousarray(bias, np.int32) if bias is not None else None
+    lib.conv2d_int(
+        x.ravel(), w.ravel(),
+        b.ctypes.data_as(ctypes.c_void_p) if b is not None else None,
+        y.ravel(), N, H, W, C, O, kh, kw,
+        stride[0], stride[1], padding[0], padding[1], groups,
+    )
+    return y
+
+
+def c_residual_add_int(res: np.ndarray, res_fl: int, x: np.ndarray, x_fl: int) -> np.ndarray:
+    lib = _fxp()
+    res = np.ascontiguousarray(res, np.int32)
+    x = np.ascontiguousarray(x, np.int32)
+    out = np.empty_like(res)
+    lib.residual_add_int(res.ravel(), res_fl, x.ravel(), x_fl, out.ravel(), ctypes.c_int64(res.size))
+    return out
+
+
+def c_avgpool_sum_int(x: np.ndarray) -> np.ndarray:
+    lib = _fxp()
+    x = np.ascontiguousarray(x, np.int32)
+    N, H, W, C = x.shape
+    y = np.empty((N, C), np.int32)
+    lib.avgpool_sum_int(x.ravel(), y.ravel(), N, H, W, C)
+    return y
+
+
+def c_gemm_int8(x: np.ndarray, w: np.ndarray, bias: Optional[np.ndarray]) -> np.ndarray:
+    lib = _fxp()
+    x = np.ascontiguousarray(x, np.int8)
+    w = np.ascontiguousarray(w, np.int8)
+    M, K = x.shape
+    _, N = w.shape
+    y = np.empty((M, N), np.int32)
+    b = np.ascontiguousarray(bias, np.int32) if bias is not None else None
+    lib.gemm_int8(
+        x.ravel(), w.ravel(),
+        b.ctypes.data_as(ctypes.c_void_p) if b is not None else None,
+        y.ravel(), M, K, N,
+    )
+    return y
+
+
+def c_eval_preprocess_batch(
+    images, resize: int, size: int,
+    mean: Optional[np.ndarray] = None, std: Optional[np.ndarray] = None,
+    num_threads: int = 4,
+) -> np.ndarray:
+    """images: list of uint8 HWC arrays (varied sizes) -> (n,size,size,3) f32."""
+    lib = _load("libimageops.so")
+    if lib is None:
+        raise RuntimeError("libimageops.so not built (run make -C csrc)")
+    if not getattr(lib, "_sigs_set", False):
+        lib.eval_preprocess_batch.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), _i32p, _c, _c, _c, _c,
+            _f32p, _f32p, _f32p, _c, _c,
+        ]
+        lib._sigs_set = True
+    n = len(images)
+    images = [np.ascontiguousarray(im, np.uint8) for im in images]
+    ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)(
+        *[im.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for im in images]
+    )
+    dims = np.array([[im.shape[0], im.shape[1]] for im in images], np.int32)
+    out = np.empty((n, size, size, 3), np.float32)
+    do_norm = int(mean is not None)
+    mean = np.ascontiguousarray(mean if mean is not None else np.zeros(3), np.float32)
+    std = np.ascontiguousarray(std if std is not None else np.ones(3), np.float32)
+    lib.eval_preprocess_batch(
+        ptrs, dims.ravel(), n, 3, resize, size, out.ravel(),
+        mean, std, do_norm, num_threads,
+    )
+    return out
