@@ -1,0 +1,103 @@
+"""Continuous-batching serving: coalescing, padding, demux, mesh dispatch."""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f8net_tpu.engine.serve import ServingEngine
+from f8net_tpu.parallel import make_mesh
+
+
+class _EchoEngine:
+    """Deterministic fake engine: logits[i] = (sum of image i, batch tag)."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def __call__(self, x):
+        self.calls += 1
+        s = jnp.sum(x, axis=(1, 2, 3), keepdims=False)
+        return jnp.stack([s, jnp.full_like(s, self.calls)], axis=1)
+
+
+def _img(v, hw=8):
+    return np.full((hw, hw, 3), v, np.float32)
+
+
+def test_single_requests_coalesce_and_demux():
+    eng = _EchoEngine()
+    srv = ServingEngine(eng, batch_size=4, max_wait_ms=50).start()
+    futs = [srv.submit(_img(i)) for i in range(4)]
+    outs = [f.result(10) for f in futs]
+    srv.stop()
+    # all four go in one device batch
+    assert eng.calls == 1
+    for i, o in enumerate(outs):
+        assert o.shape == (1, 2)
+        np.testing.assert_allclose(o[0, 0], i * 8 * 8 * 3, rtol=1e-6)
+
+
+def test_padding_partial_batch():
+    eng = _EchoEngine()
+    srv = ServingEngine(eng, batch_size=8, max_wait_ms=5).start()
+    out = srv.infer(_img(2.0))
+    srv.stop()
+    assert out.shape == (1, 2)
+    assert srv.stats["padded"] >= 7  # 1 real + 7 pad
+
+
+def test_multi_image_request_split_across_batches():
+    eng = _EchoEngine()
+    srv = ServingEngine(eng, batch_size=4, max_wait_ms=5).start()
+    big = np.stack([_img(i) for i in range(10)])  # > 2 device batches
+    out = srv.infer(big)
+    srv.stop()
+    assert out.shape == (10, 2)
+    np.testing.assert_allclose(out[:, 0], np.arange(10) * 8 * 8 * 3, rtol=1e-6)
+
+
+def test_error_routing():
+    class Boom:
+        def __call__(self, x):
+            raise RuntimeError("kernel exploded")
+
+    srv = ServingEngine(Boom(), batch_size=2, max_wait_ms=5).start()
+    fut = srv.submit(_img(1.0))
+    try:
+        fut.result(10)
+        assert False, "expected exception"
+    except RuntimeError as e:
+        assert "kernel exploded" in str(e)
+    srv.stop()
+
+
+def test_mesh_sharded_dispatch():
+    mesh = make_mesh(data=8, model=1)
+    eng = _EchoEngine()
+    srv = ServingEngine(eng, batch_size=8, max_wait_ms=20, mesh=mesh).start()
+    futs = [srv.submit(_img(i)) for i in range(8)]
+    outs = [f.result(10) for f in futs]
+    srv.stop()
+    for i, o in enumerate(outs):
+        np.testing.assert_allclose(o[0, 0], i * 8 * 8 * 3, rtol=1e-6)
+
+
+def test_throughput_many_concurrent_clients():
+    eng = _EchoEngine()
+    srv = ServingEngine(eng, batch_size=16, max_wait_ms=10).start()
+    results = {}
+
+    def client(i):
+        results[i] = srv.infer(_img(i % 7))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(64)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(20)
+    srv.stop()
+    assert len(results) == 64
+    # far fewer device batches than requests (real coalescing)
+    assert srv.stats["batches"] <= 24, srv.stats
