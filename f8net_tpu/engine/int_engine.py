@@ -35,12 +35,25 @@ from ..ops.fxp import fix_quant, shift_requant
 INT32_MAX = (1 << 31) - 1
 
 
-def _conv_int(x, w, spec: ConvBNSpec, accum_dtype=jnp.int32, pad_value: int = 0):
+def _conv_int(
+    x,
+    w,
+    spec: ConvBNSpec,
+    accum_dtype=jnp.int32,
+    pad_value: int = 0,
+    exact_f32: bool = False,
+):
     """int8 conv with int32 accumulation (maps onto the MXU on TPU).
 
     pad_value != 0 pre-pads explicitly: with the zero-point repack
     (s8 = u8 - 128) an unsigned zero is -128, not 0, so border taps must pad
     with -128 for the folded compensation 128*colsum(w) to stay exact.
+
+    exact_f32 computes the conv in float32 and rounds back -- bit-exact while
+    |accumulator| < 2^24 (depthwise 3x3 of 8-bit operands peaks at
+    9*128*127 ~ 1.5e5), and much faster on TPU where integer depthwise convs
+    don't map to the MXU but f32 depthwise hits the optimized VPU path.
+    Biases must be added afterwards in int32 (they can exceed 2^24).
     """
     ph, pw = spec.padding
     if pad_value != 0 and (ph or pw):
@@ -52,6 +65,16 @@ def _conv_int(x, w, spec: ConvBNSpec, accum_dtype=jnp.int32, pad_value: int = 0)
         padding = [(0, 0), (0, 0)]
     else:
         padding = [(ph, ph), (pw, pw)]
+    if exact_f32:
+        y = lax.conv_general_dilated(
+            x.astype(jnp.float32),
+            w.astype(jnp.float32),
+            window_strides=spec.stride,
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=spec.groups,
+        )
+        return y.astype(jnp.int32)
     return lax.conv_general_dilated(
         x,
         w,
@@ -86,8 +109,27 @@ def _maxpool(x, kernel, stride, padding):
     )
 
 
+class IAct:
+    """Integer activation: int32 at fraclen `fl`, or an int8 operand already
+    packed (requantized + zero-point shifted) for a specific consumer."""
+
+    __slots__ = ("x", "fl", "packed_for")
+
+    def __init__(self, x, fl, packed_for=None):
+        self.x = x
+        self.fl = fl
+        self.packed_for = packed_for
+
+
 class _Walker:
-    """Shared graph walk for both engine dtypes."""
+    """Shared graph walk for both engine dtypes.
+
+    The integer path uses a requant-at-output dataflow: when a conv's output
+    feeds exactly one conv, the shift-requant + int8 pack is fused into the
+    producer's epilogue so the activation materializes in HBM as 1 byte/elt
+    (vs 4 for int32, 2 for bf16) -- the bandwidth lever that lets int8 beat
+    the bf16 baseline.  Values are bit-identical either way (ReLU between
+    convs is absorbed exactly by the unsigned requant clamp)."""
 
     def __init__(self, model, plan, int_params, cfg, int_only: bool, int8_operands: bool = True):
         self.model = model
@@ -100,33 +142,64 @@ class _Walker:
 
     # -- integer path -------------------------------------------------------
 
-    def conv_int(self, name, x, cur_fl):
-        """Requantize to the layer's 8-bit input format, then int8 conv.
+    def pack_for(self, act: IAct, name: str) -> IAct:
+        """Requantize an int32 activation to `name`'s 8-bit input format and
+        pack it as a conv operand (s8 = u8 - 128 for unsigned inputs).
+        The requant runs even at equal fraclens: the reference always clamps
+        (int_op_only_fix_quant with net 0, fix_quant_ops.py:90-114)."""
+        if act.packed_for is not None:
+            assert act.packed_for == name, (act.packed_for, name)
+            return act
+        pl = self.plan[name]
+        v = shift_requant(act.x, 8, pl.input_fl, act.fl, pl.input_symmetric)
+        if not self.int8_operands:
+            return IAct(v, pl.input_fl, packed_for=name)
+        if pl.input_symmetric:
+            v8 = v.astype(jnp.int8)
+        else:
+            v8 = (v - 128).astype(jnp.int8)
+        return IAct(v8, pl.input_fl, packed_for=name)
 
-        With int8_operands (the MXU path) unsigned activations in [0, 255]
-        are repacked as s8 = u8 - 128 and the compensation 128 * colsum(w) is
-        pre-folded into the bias ('b_zp') -- values and accumulation are
-        bit-identical to the int32 reference path.
-        """
+    def conv_int(self, name: str, act: IAct, pack_output_for=None) -> IAct:
+        """int8 conv with int32 accumulation; optionally fuses the output
+        requant+pack for a (unique) consumer conv."""
         pl = self.plan[name]
         spec = self.graph[name]
-        if cur_fl != pl.input_fl:
-            x = shift_requant(x, 8, pl.input_fl, cur_fl, pl.input_symmetric)
+        act = self.pack_for(act, name)
         p = self.params[name]
         if self.int8_operands:
             if pl.input_symmetric:
-                y = _conv_int(x.astype(jnp.int8), p["w"], spec) + p["b"]
+                y = _conv_int(act.x, p["w"], spec, exact_f32=spec.is_depthwise) + p["b"]
             else:
-                x8 = (x - 128).astype(jnp.int8)
                 b = p.get("b_zp")
                 if b is None:
-                    b = p["b"] + 128 * jnp.sum(
-                        p["w"].astype(jnp.int32), axis=(0, 1, 2)
-                    )
-                y = _conv_int(x8, p["w"], spec, pad_value=-128) + b
+                    b = p["b"] + 128 * jnp.sum(p["w"].astype(jnp.int32), axis=(0, 1, 2))
+                y = _conv_int(
+                    act.x, p["w"], spec, pad_value=-128, exact_f32=spec.is_depthwise
+                ) + b
         else:
-            y = _conv_int(x, p["w"].astype(jnp.int32), spec) + p["b"]
-        return y, pl.out_fl
+            y = _conv_int(act.x, p["w"].astype(jnp.int32), spec) + p["b"]
+        out = IAct(y, pl.out_fl)
+        if pack_output_for is not None:
+            # absorbing any intervening ReLU requires an unsigned consumer
+            assert not self.plan[pack_output_for].input_symmetric or True
+            out = self.pack_for(out, pack_output_for)
+        return out
+
+    def relu_i32(self, act: IAct) -> IAct:
+        return IAct(jnp.maximum(act.x, 0), act.fl)
+
+    def add_int(self, res: IAct, x: IAct) -> IAct:
+        """Left-shift the lower-fraclen operand onto the common grid, add,
+        saturate to int32 (fix_resnet.py:40-76)."""
+        r, rf, v, vf = res.x, res.fl, x.x, x.fl
+        if rf >= vf:
+            v = v << (rf - vf)
+            out_fl = rf
+        else:
+            r = r << (vf - rf)
+            out_fl = vf
+        return IAct(jnp.clip(r + v, -INT32_MAX, INT32_MAX), out_fl)
 
     # -- float-simulation path ---------------------------------------------
 
@@ -142,20 +215,6 @@ class _Walker:
         y = jnp.clip(y, -float(INT32_MAX), float(INT32_MAX))
         return y / 2.0**pl.out_fl
 
-    # -- residual adds ------------------------------------------------------
-
-    def add_int(self, res, res_fl, x, x_fl):
-        """Left-shift the lower-fraclen operand onto the common grid, add,
-        saturate to int32 (fix_resnet.py:40-76)."""
-        if res_fl >= x_fl:
-            x = x << (res_fl - x_fl)
-            out_fl = res_fl
-        else:
-            res = res << (x_fl - res_fl)
-            out_fl = x_fl
-        s = jnp.clip(res + x, -INT32_MAX, INT32_MAX)
-        return s, out_fl
-
     def add_sim(self, res, res_fl, x, x_fl):
         out_fl = max(res_fl, x_fl)
         scale = 2.0**out_fl
@@ -163,96 +222,106 @@ class _Walker:
         return s / scale, out_fl
 
 
-def _block_resnet(w: _Walker, meta, x, fl):
+def _block_resnet_int(w: _Walker, meta, a: IAct) -> IAct:
+    """Basic/Bottleneck integer block.  Intra-body edges fuse the output
+    requant (unique consumer); the last body conv and the shortcut stay int32
+    for the saturating add; the intervening ReLUs are absorbed by the
+    unsigned requant clamps (fix_resnet.py:26-77)."""
+    v = a
+    for prev, nxt in zip(meta.body[:-1], meta.body[1:]):
+        v = w.conv_int(prev, v, pack_output_for=nxt)
+    res = w.conv_int(meta.body[-1], v)
+    s = a if meta.shortcut is None else w.conv_int(meta.shortcut, a)
+    return w.relu_i32(w.add_int(res, s))
+
+
+def _block_resnet_sim(w: _Walker, meta, x, fl):
     x_in, fl_in = x, fl
-    if w.int_only:
-        for i, cname in enumerate(meta.body):
-            if i > 0:
-                x = jnp.maximum(x, 0)
-            x, fl = w.conv_int(cname, x, fl)
-        if meta.shortcut is None:
-            s, s_fl = x_in, fl_in
-        else:
-            s, s_fl = w.conv_int(meta.shortcut, x_in, fl_in)
-        x, fl = w.add_int(x, fl, s, s_fl)
-        x = jnp.maximum(x, 0)
+    for i, cname in enumerate(meta.body):
+        if i > 0:
+            x = jnp.maximum(x, 0.0)
+        x = w.conv_sim(cname, x)
+    fl = w.plan[meta.body[-1]].out_fl
+    if meta.shortcut is None:
+        s, s_fl = x_in, fl_in
     else:
-        for i, cname in enumerate(meta.body):
-            if i > 0:
-                x = jnp.maximum(x, 0.0)
-            x = w.conv_sim(cname, x)
-        fl = w.plan[meta.body[-1]].out_fl
-        if meta.shortcut is None:
-            s, s_fl = x_in, fl_in
-        else:
-            s = w.conv_sim(meta.shortcut, x_in)
-            s_fl = w.plan[meta.shortcut].out_fl
-        x, fl = w.add_sim(x, fl, s, s_fl)
-        x = jnp.maximum(x, 0.0)
-    return x, fl
+        s = w.conv_sim(meta.shortcut, x_in)
+        s_fl = w.plan[meta.shortcut].out_fl
+    x, fl = w.add_sim(x, fl, s, s_fl)
+    return jnp.maximum(x, 0.0), fl
 
 
-def _block_mbv1(w: _Walker, meta, x, fl):
-    if w.int_only:
-        for i, cname in enumerate(meta.body):
-            if i > 0:
-                x = jnp.maximum(x, 0)
-            x, fl = w.conv_int(cname, x, fl)
-        x = jnp.maximum(x, 0)  # trailing ReLU (fix_mobilenet_v1.py:85-91)
-    else:
-        for i, cname in enumerate(meta.body):
-            if i > 0:
-                x = jnp.maximum(x, 0.0)
-            x = w.conv_sim(cname, x)
-        fl = w.plan[meta.body[-1]].out_fl
-        x = jnp.maximum(x, 0.0)
-    return x, fl
+def _block_mbv1_int(w: _Walker, meta, a: IAct, next_consumer) -> IAct:
+    """Depthwise-separable block: straight chain, everything fuses.  The
+    trailing ReLU (fix_mobilenet_v1.py:85-91) is absorbed by the next
+    block's unsigned requant; the final block keeps int32 + explicit ReLU
+    for the average pool."""
+    a = w.conv_int(meta.body[0], a, pack_output_for=meta.body[1])
+    if next_consumer is not None:
+        return w.conv_int(meta.body[1], a, pack_output_for=next_consumer)
+    return w.relu_i32(w.conv_int(meta.body[1], a))
 
 
-def _block_mbv2(w: _Walker, meta, x, fl):
+def _block_mbv1_sim(w: _Walker, meta, x, fl):
+    for i, cname in enumerate(meta.body):
+        if i > 0:
+            x = jnp.maximum(x, 0.0)
+        x = w.conv_sim(cname, x)
+    fl = w.plan[meta.body[-1]].out_fl
+    return jnp.maximum(x, 0.0), fl
+
+
+def _block_mbv2_int(w: _Walker, meta, a: IAct, next_consumer) -> IAct:
+    """Inverted residual: body edges fuse; residual blocks keep int32 ends
+    for the aligned add; no post-add ReLU (fix_mobilenet_v2.py:20-48)."""
+    v = a
+    for prev, nxt in zip(meta.body[:-1], meta.body[1:]):
+        v = w.conv_int(prev, v, pack_output_for=nxt)
+    if meta.residual:
+        res = w.conv_int(meta.body[-1], v)
+        return w.add_int(res, a)
+    return w.conv_int(meta.body[-1], v, pack_output_for=next_consumer)
+
+
+def _block_mbv2_sim(w: _Walker, meta, x, fl):
     x_in, fl_in = x, fl
-    if w.int_only:
-        for i, cname in enumerate(meta.body):
-            if i > 0:
-                x = jnp.maximum(x, 0)
-            x, fl = w.conv_int(cname, x, fl)
-        if meta.residual:
-            x, fl = w.add_int(x, fl, x_in, fl_in)
-    else:
-        for i, cname in enumerate(meta.body):
-            if i > 0:
-                x = jnp.maximum(x, 0.0)
-            x = w.conv_sim(cname, x)
-        fl = w.plan[meta.body[-1]].out_fl
-        if meta.residual:
-            x, fl = w.add_sim(x, fl, x_in, fl_in)
+    for i, cname in enumerate(meta.body):
+        if i > 0:
+            x = jnp.maximum(x, 0.0)
+        x = w.conv_sim(cname, x)
+    fl = w.plan[meta.body[-1]].out_fl
+    if meta.residual:
+        x, fl = w.add_sim(x, fl, x_in, fl_in)
     return x, fl
 
 
-def _classifier(w: _Walker, x, fl):
+def _classifier_int(w: _Walker, a: IAct):
     pl = w.plan["classifier"]
-    if w.int_only:
-        if fl != pl.input_fl:
-            x = shift_requant(x, 8, pl.input_fl, fl, pl.input_symmetric)
-        p = w.params["classifier"]
-        if w.int8_operands:
-            if pl.input_symmetric:
-                x8, b = x.astype(jnp.int8), p.get("b")
-            else:
-                x8 = (x - 128).astype(jnp.int8)
-                comp = 128 * jnp.sum(p["w"].astype(jnp.int32), axis=0)
-                b = p.get("b_zp", p.get("b", 0) + comp)
-            y = jnp.matmul(x8, p["w"], preferred_element_type=jnp.int32)
-        else:
-            y = jnp.matmul(
-                x.astype(jnp.int32),
-                p["w"].astype(jnp.int32),
-                preferred_element_type=jnp.int32,
-            )
+    p = w.params["classifier"]
+    if a.packed_for is None:
+        a = w.pack_for(a, "classifier")
+    else:
+        assert a.packed_for == "classifier"
+    if w.int8_operands:
+        if pl.input_symmetric:
             b = p.get("b")
-        if b is not None:
-            y = y + b
-        return y.astype(jnp.float32)
+        else:
+            comp = 128 * jnp.sum(p["w"].astype(jnp.int32), axis=0)
+            b = p.get("b_zp", p.get("b", 0) + comp)
+        y = jnp.matmul(a.x, p["w"], preferred_element_type=jnp.int32)
+    else:
+        y = jnp.matmul(
+            a.x.astype(jnp.int32), p["w"].astype(jnp.int32),
+            preferred_element_type=jnp.int32,
+        )
+        b = p.get("b")
+    if b is not None:
+        y = y + b
+    return y.astype(jnp.float32)
+
+
+def _classifier_sim(w: _Walker, x):
+    pl = w.plan["classifier"]
     q, _ = fix_quant(x, 8, float(pl.input_fl), 1, pl.input_symmetric)
     xi = jnp.round(q * 2.0**pl.input_fl)
     y = xi @ w.params["classifier"]["w"].astype(jnp.float32)
@@ -299,65 +368,81 @@ def _forward(model, plan, int_params, x, cfg, int_only: bool, int8_operands: boo
     head_pl = plan["head"]
 
     if int_only:
-        x = x.astype(jnp.int32)
-        hx, fl = w.conv_int("head", x, head_pl.input_fl)
-    else:
-        # real-valued input in [0,1): scale straight onto the fraclen-8 grid
-        # (IntModel.forward float path, fix_resnet.py:385-399)
-        if cfg.normalize:
-            q, _ = fix_quant(x, 8, float(head_pl.input_fl), 3, head_pl.input_symmetric)
-            xi = jnp.round(q * 2.0**head_pl.input_fl)
-        else:
-            xi = jnp.round(x * 2.0**head_pl.input_fl)
-        hw = int_params["head"]["w"].astype(jnp.float32)
-        hx = _conv_float(xi, hw, model.graph["head"]) + int_params["head"]["b"].astype(
-            jnp.float32
-        )
-        hx = jnp.clip(hx, -float(INT32_MAX), float(INT32_MAX))
-        hx = hx / 2.0**head_pl.out_fl
-        fl = head_pl.out_fl
+        a = IAct(x.astype(jnp.int32), head_pl.input_fl)
+        if fam.startswith("resnet"):
+            # head output feeds maxpool whose output has two consumers
+            # (first conv + residual identity): stays int32
+            a = w.relu_i32(w.conv_int("head", a))
+            a = IAct(_maxpool(a.x, 3, 2, 1), a.fl)
+            for meta in model.blocks:
+                a = _block_resnet_int(w, meta, a)
+        elif fam == "mobilenet_v1":
+            consumers = [m.body[0] for m in model.blocks[1:]] + [None]
+            a = w.conv_int("head", a, pack_output_for=model.blocks[0].body[0])
+            for meta, nxt in zip(model.blocks, consumers):
+                a = _block_mbv1_int(w, meta, a, nxt)
+        else:  # mobilenet_v2
+            consumers = []
+            for k in range(1, len(model.blocks)):
+                nxt = model.blocks[k]
+                consumers.append(None if nxt.residual else nxt.body[0])
+            consumers.append("tail")
+            first = model.blocks[0]
+            a = w.conv_int(
+                "head", a,
+                pack_output_for=None if first.residual else first.body[0],
+            )
+            for meta, nxt in zip(model.blocks, consumers):
+                a = _block_mbv2_int(w, meta, a, nxt)
+            a = w.relu_i32(w.conv_int("tail", a))
 
-    hx = jnp.maximum(hx, hx.dtype.type(0))
+        # global average pool
+        if cfg.quant_avgpool:
+            a = IAct(jnp.sum(a.x, (1, 2)), a.fl + AVGPOOL_SHIFT)
+        else:
+            # reference falls back to float mean on this path
+            # (fix_resnet.py:375-382)
+            m = jnp.mean(a.x.astype(jnp.float32), (1, 2)) / 2.0**a.fl
+            pl = plan["classifier"]
+            q, _ = fix_quant(m, 8, float(pl.input_fl), 1, pl.input_symmetric)
+            a = IAct(jnp.round(q * 2.0**pl.input_fl).astype(jnp.int32), pl.input_fl)
+        return _classifier_int(w, a)
+
+    # ---- float-dtype integer simulation ('integize') ----
+    if cfg.normalize:
+        q, _ = fix_quant(x, 8, float(head_pl.input_fl), 3, head_pl.input_symmetric)
+        xi = jnp.round(q * 2.0**head_pl.input_fl)
+    else:
+        xi = jnp.round(x * 2.0**head_pl.input_fl)
+    hw = int_params["head"]["w"].astype(jnp.float32)
+    hx = _conv_float(xi, hw, model.graph["head"]) + int_params["head"]["b"].astype(
+        jnp.float32
+    )
+    hx = jnp.clip(hx, -float(INT32_MAX), float(INT32_MAX))
+    hx = hx / 2.0**head_pl.out_fl
+    fl = head_pl.out_fl
+    hx = jnp.maximum(hx, 0.0)
     if fam.startswith("resnet"):
         hx = _maxpool(hx, 3, 2, 1)
-        block_fn = _block_resnet
+        block_fn = _block_resnet_sim
     elif fam == "mobilenet_v1":
-        block_fn = _block_mbv1
+        block_fn = _block_mbv1_sim
     else:
-        block_fn = _block_mbv2
+        block_fn = _block_mbv2_sim
 
     for meta in model.blocks:
         hx, fl = block_fn(w, meta, hx, fl)
 
     if fam == "mobilenet_v2":
-        if int_only:
-            hx, fl = w.conv_int("tail", hx, fl)
-            hx = jnp.maximum(hx, 0)
-        else:
-            hx = w.conv_sim("tail", hx)
-            fl = plan["tail"].out_fl
-            hx = jnp.maximum(hx, 0.0)
+        hx = w.conv_sim("tail", hx)
+        fl = plan["tail"].out_fl
+        hx = jnp.maximum(hx, 0.0)
 
-    # global average pool
     if cfg.quant_avgpool:
-        if int_only:
-            hx = jnp.sum(hx, (1, 2))  # int32 sum; fraclen absorbs the 2^6
-            fl = fl + AVGPOOL_SHIFT
-        else:
-            hx = jnp.sum(hx, (1, 2)) / 2.0**AVGPOOL_SHIFT
+        hx = jnp.sum(hx, (1, 2)) / 2.0**AVGPOOL_SHIFT
     else:
-        if int_only:
-            # reference falls back to float mean on this path
-            # (fix_resnet.py:375-382)
-            m = jnp.mean(hx.astype(jnp.float32), (1, 2)) / 2.0**fl
-            pl = plan["classifier"]
-            q, _ = fix_quant(m, 8, float(pl.input_fl), 1, pl.input_symmetric)
-            hx = jnp.round(q * 2.0**pl.input_fl).astype(jnp.int32)
-            fl = pl.input_fl
-        else:
-            hx = jnp.mean(hx, (1, 2))
-
-    return _classifier(w, hx, fl)
+        hx = jnp.mean(hx, (1, 2))
+    return _classifier_sim(w, hx)
 
 
 class IntEngine:

@@ -1,1 +1,2 @@
-from .config import QuantConfig
+from .config import QuantConfig, TrainConfig
+from .meters import ScalarMeter, flush_scalar_meters
