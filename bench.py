@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--engine", choices=["xla", "pallas"], default="xla")
     args = ap.parse_args()
 
     from f8net_tpu.engine import IntEngine
@@ -53,7 +54,7 @@ def main():
     params, state = model.init(jax.random.PRNGKey(0))
     plan, int_params = bake_plan(model, params, state)
 
-    eng = IntEngine(model, plan, int_params, int_only=True)
+    eng = IntEngine(model, plan, int_params, int_only=True, use_pallas=args.engine == "pallas")
     x = jnp.round(
         255.0
         * jax.random.uniform(
@@ -73,7 +74,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"{args.model}_int8_images_per_sec_1chip_{platform}",
+                "metric": f"{args.model}_int8_{args.engine}_images_per_sec_1chip_{platform}",
                 "value": round(ips_int, 1),
                 "unit": "images/s",
                 "vs_baseline": round(ips_int / ips_bf16, 3),

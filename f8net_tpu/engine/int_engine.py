@@ -131,7 +131,16 @@ class _Walker:
     the bf16 baseline.  Values are bit-identical either way (ReLU between
     convs is absorbed exactly by the unsigned requant clamp)."""
 
-    def __init__(self, model, plan, int_params, cfg, int_only: bool, int8_operands: bool = True):
+    def __init__(
+        self,
+        model,
+        plan,
+        int_params,
+        cfg,
+        int_only: bool,
+        int8_operands: bool = True,
+        use_pallas: bool = False,
+    ):
         self.model = model
         self.graph = model.graph
         self.plan = plan
@@ -139,6 +148,7 @@ class _Walker:
         self.cfg = cfg
         self.int_only = int_only
         self.int8_operands = int8_operands
+        self.use_pallas = use_pallas
 
     # -- integer path -------------------------------------------------------
 
@@ -160,13 +170,56 @@ class _Walker:
             v8 = (v - 128).astype(jnp.int8)
         return IAct(v8, pl.input_fl, packed_for=name)
 
+    def _pallas_eligible(self, spec) -> bool:
+        return (
+            self.use_pallas
+            and self.int8_operands
+            and spec.groups == 1
+            and spec.in_ch >= 16
+            and spec.stride[0] == spec.stride[1]
+            and spec.stride[0] in (1, 2)
+            and spec.padding[0] == spec.padding[1]
+        )
+
     def conv_int(self, name: str, act: IAct, pack_output_for=None) -> IAct:
         """int8 conv with int32 accumulation; optionally fuses the output
-        requant+pack for a (unique) consumer conv."""
+        requant+pack for a (unique) consumer conv.
+
+        With use_pallas, dense convs execute through the implicit-GEMM Pallas
+        kernel whose epilogue truly fuses bias + ReLU-absorbing requant +
+        int8 pack (ops/pallas_conv.py); depthwise and tiny-C convs keep the
+        XLA path."""
         pl = self.plan[name]
         spec = self.graph[name]
         act = self.pack_for(act, name)
         p = self.params[name]
+
+        if self._pallas_eligible(spec):
+            from ..ops.pallas_conv import pallas_conv_int8
+
+            if pl.input_symmetric:
+                b, pad_value = p["b"], 0
+            else:
+                b = p.get("b_zp")
+                if b is None:
+                    b = p["b"] + 128 * jnp.sum(p["w"].astype(jnp.int32), axis=(0, 1, 2))
+                pad_value = -128
+            if pack_output_for is not None:
+                cons = self.plan[pack_output_for]
+                y8 = pallas_conv_int8(
+                    act.x, p["w"], b,
+                    stride=spec.stride[0], padding=spec.padding[0],
+                    pad_value=pad_value, epilogue="requant8",
+                    net=pl.out_fl - cons.input_fl, out_signed=cons.input_symmetric,
+                )
+                return IAct(y8, cons.input_fl, packed_for=pack_output_for)
+            y = pallas_conv_int8(
+                act.x, p["w"], b,
+                stride=spec.stride[0], padding=spec.padding[0],
+                pad_value=pad_value, epilogue="int32",
+            )
+            return IAct(y, pl.out_fl)
+
         if self.int8_operands:
             if pl.input_symmetric:
                 y = _conv_int(act.x, p["w"], spec, exact_f32=spec.is_depthwise) + p["b"]
@@ -181,8 +234,6 @@ class _Walker:
             y = _conv_int(act.x, p["w"].astype(jnp.int32), spec) + p["b"]
         out = IAct(y, pl.out_fl)
         if pack_output_for is not None:
-            # absorbing any intervening ReLU requires an unsigned consumer
-            assert not self.plan[pack_output_for].input_symmetric or True
             out = self.pack_for(out, pack_output_for)
         return out
 
@@ -332,11 +383,17 @@ def _classifier_sim(w: _Walker, x):
     return jnp.clip(y, -float(INT32_MAX), float(INT32_MAX))
 
 
-def int_forward(model, plan, int_params, x, cfg=None, int8_operands: bool = True):
+def int_forward(
+    model, plan, int_params, x, cfg=None,
+    int8_operands: bool = True, use_pallas: bool = False,
+):
     """Integer-only forward.  `x` is the conditioned uint8-range input:
     round(255*image) as int32 (unnormalized pipeline, fraclen 8), or the
     head-quantized int for the normalized pipeline (fix_train.py:676-694)."""
-    return _forward(model, plan, int_params, x, cfg, int_only=True, int8_operands=int8_operands)
+    return _forward(
+        model, plan, int_params, x, cfg,
+        int_only=True, int8_operands=int8_operands, use_pallas=use_pallas,
+    )
 
 
 def float_sim_forward(model, plan, int_params, x, cfg=None):
@@ -361,9 +418,12 @@ def add_zero_point_bias(model, plan, int_params):
     return out
 
 
-def _forward(model, plan, int_params, x, cfg, int_only: bool, int8_operands: bool = True):
+def _forward(
+    model, plan, int_params, x, cfg, int_only: bool,
+    int8_operands: bool = True, use_pallas: bool = False,
+):
     cfg = cfg or model.cfg
-    w = _Walker(model, plan, int_params, cfg, int_only, int8_operands)
+    w = _Walker(model, plan, int_params, cfg, int_only, int8_operands, use_pallas)
     fam = model.name
     head_pl = plan["head"]
 
@@ -456,19 +516,21 @@ class IntEngine:
         cfg=None,
         int_only: bool = True,
         int8_operands: bool = True,
+        use_pallas: bool = False,
     ):
         self.model = model
         self.plan = plan
         self.cfg = cfg or model.cfg
         self.int_only = int_only
         self.int8_operands = int8_operands
+        self.use_pallas = use_pallas
         if int_only and int8_operands:
             int_params = add_zero_point_bias(model, plan, int_params)
         self.int_params = int_params
         if int_only:
             self._jit = jax.jit(
                 lambda p, xx: int_forward(
-                    self.model, self.plan, p, xx, self.cfg, int8_operands
+                    self.model, self.plan, p, xx, self.cfg, int8_operands, use_pallas
                 )
             )
         else:

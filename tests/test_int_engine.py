@@ -128,3 +128,15 @@ def test_int8_operands_bitexact_vs_int32():
     e32 = IntEngine(model, plan, int_params, int_only=True, int8_operands=False)
     xi = e8.condition_input(x)
     np.testing.assert_array_equal(np.asarray(e8(xi)), np.asarray(e32(xi)))
+
+
+def test_pallas_engine_bitexact_vs_xla():
+    """The Pallas conv path (fused epilogues) == the XLA engine, bit for bit
+    (interpret mode on CPU)."""
+    for name in ("resnet18", "mobilenet_v2"):
+        model, params, state, x = _trained_model(name, BASE)
+        plan, int_params = bake_plan(model, params, state)
+        e_xla = IntEngine(model, plan, int_params, int_only=True)
+        e_pal = IntEngine(model, plan, int_params, int_only=True, use_pallas=True)
+        xi = e_xla.condition_input(x)
+        np.testing.assert_array_equal(np.asarray(e_pal(xi)), np.asarray(e_xla(xi)))
