@@ -1,4 +1,5 @@
 from .torch_ckpt import (
+    load_hawq_checkpoint,
     load_reference_checkpoint,
     load_ordered_conv_bn_fc,
     parse_nvidia_state_dict,

@@ -218,3 +218,16 @@ def load_ordered_conv_bn_fc(model, entries: Sequence[tuple], params=None, state=
 
     to_jnp = lambda t: {k: {kk: jnp.asarray(vv) for kk, vv in v.items()} for k, v in t.items()}
     return to_jnp(params), to_jnp(state)
+
+
+def load_hawq_checkpoint(model, hawq_sd, params=None, state=None):
+    """HAWQ checkpoints store quant-wrapped keys; the reference filters the
+    scaling/min/max/integer-weight entries and maps the remainder onto the
+    plain CNN ordering (fix_train.py:67-82).  Same here: filter, then reuse
+    the ordered conv/bn/fc walk."""
+    drop = ("scaling_factor", "num_batches_tracked", "weight_integer", "min", "max")
+    filtered = {
+        k: v for k, v in hawq_sd.items() if not any(t in k for t in drop)
+    }
+    entries = parse_plain_cnn_state_dict(filtered)
+    return load_ordered_conv_bn_fc(model, entries, params, state)

@@ -35,6 +35,63 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _patch_dot(patch, wk, impl: str, c: int):
+    """(BOH, OW, C) x (C, BO) -> (BOH, OW, BO), exact int32.
+
+    impl variants exist because Mosaic's layout inference restricts reshapes
+    of narrow dtypes (vector<8x14xNxi8> -> vector<112xNxi8> is rejected):
+      'i8flat'  -- int8 reshape + int8 dot (fastest where supported)
+      'i32flat' -- cast to int32 before the flatten
+      'bf16'    -- bf16 dot accumulated in f32 then cast back; exact because
+                   each per-tap dot contracts only C <= 1024 channels
+                   (|acc| <= 1024*128*127 < 2^24)
+      'rows'    -- per-output-row 2-D dots (no 3-D reshape at all)
+    """
+    boh, ow, _ = patch.shape
+    if impl == "i8flat":
+        return jax.lax.dot_general(
+            patch.reshape(boh * ow, c),
+            wk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(boh, ow, -1)
+    if impl == "i32flat":
+        return jax.lax.dot_general(
+            patch.astype(jnp.int32).reshape(boh * ow, c),
+            wk.astype(jnp.int32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(boh, ow, -1)
+    if impl == "bf16":
+        # per-chunk f32 accumulators stay below 2^24 (1024*128*127 < 2^24),
+        # so casting back to int32 per chunk keeps the result exact
+        total = None
+        flat = patch.reshape(boh * ow, c) if patch.ndim == 3 else patch
+        for c0 in range(0, c, 1024):
+            c1 = min(c0 + 1024, c)
+            y = jax.lax.dot_general(
+                flat[:, c0:c1].astype(jnp.bfloat16),
+                wk[c0:c1].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            total = y if total is None else total + y
+        return total.reshape(boh, ow, -1)
+    if impl == "rows":
+        outs = []
+        for r in range(boh):
+            outs.append(
+                jax.lax.dot_general(
+                    patch[r],
+                    wk,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            )
+        return jnp.stack(outs, axis=0)
+    raise NotImplementedError(impl)
+
+
 def _conv_kernel(
     xa_ref,
     xb_ref,
@@ -52,10 +109,11 @@ def _conv_kernel(
     net: int,
     out_signed: bool,
     relu: bool,
+    impl: str,
 ):
     win = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0)  # (2*BHs, Wp, C)
     c = win.shape[-1]
-    acc = jnp.zeros_like(acc_ref)
+    acc = jnp.zeros((boh, ow, acc_ref.shape[-1]), jnp.int32)
     for ky in range(kh):
         for kx in range(kw):
             patch = jax.lax.slice(
@@ -64,23 +122,75 @@ def _conv_kernel(
                 (ky + (boh - 1) * stride + 1, kx + (ow - 1) * stride + 1, c),
                 (stride, stride, 1),
             )  # (BOH, OW, C)
-            acc += jax.lax.dot_general(
-                patch.reshape(boh * ow, c),
-                w_ref[ky, kx],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
+            acc += _patch_dot(patch, w_ref[ky, kx], impl, c)
     acc_ref[:] = acc
-    out = acc + b_ref[:]
+    out = acc + b_ref[:].reshape(1, 1, -1)
     if relu:
         out = jnp.maximum(out, 0)
     if epilogue == "requant8":
         r = _requant_i32(out, net, out_signed)
         if not out_signed:
             r = r - 128
-        o_ref[0] = r.astype(jnp.int8).reshape(boh, ow, -1)
+        o_ref[0] = r.astype(jnp.int8)
     else:
-        o_ref[0] = out.reshape(boh, ow, -1)
+        o_ref[0] = out
+
+
+
+
+def _conv_kernel_bigk(
+    xa_ref,
+    xb_ref,
+    w2_ref,
+    b_ref,
+    o_ref,
+    patch_ref,
+    *,
+    kh: int,
+    kw: int,
+    stride: int,
+    boh: int,
+    ow: int,
+    epilogue: str,
+    net: int,
+    out_signed: bool,
+    relu: bool,
+):
+    """im2col-in-VMEM variant: assemble the (BOH*OW, kh*kw*C) patch matrix
+    with 2-D row writes (Mosaic-friendly: no narrow-dtype 3-D reshapes),
+    then one deep-K MXU GEMM against the (kh*kw*C, BO) weight matrix."""
+    win = jnp.concatenate([xa_ref[0], xb_ref[0]], axis=0)  # (2*BHs, Wp, C)
+    c = win.shape[-1]
+    for ky in range(kh):
+        for kx in range(kw):
+            tap = ky * kw + kx
+            for r in range(boh):
+                row = jax.lax.slice(
+                    win,
+                    (ky + r * stride, kx, 0),
+                    (ky + r * stride + 1, kx + (ow - 1) * stride + 1, c),
+                    (1, stride, 1),
+                )  # (1, OW, C)
+                patch_ref[r * ow : (r + 1) * ow, tap * c : (tap + 1) * c] = row[0]
+    acc = jax.lax.dot_general(
+        patch_ref[:],
+        w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc + b_ref[:]
+    if relu:
+        out = jnp.maximum(out, 0)
+    if epilogue == "requant8":
+        rq = _requant_i32(out, net, out_signed)
+        if not out_signed:
+            rq = rq - 128
+        rq = rq.astype(jnp.int8)
+        for r in range(boh):
+            o_ref[0, r] = rq[r * ow : (r + 1) * ow]
+    else:
+        for r in range(boh):
+            o_ref[0, r] = out[r * ow : (r + 1) * ow]
 
 
 @functools.partial(
@@ -95,6 +205,7 @@ def _conv_kernel(
         "relu",
         "boh",
         "bo",
+        "impl",
         "interpret",
     ),
 )
@@ -112,6 +223,7 @@ def pallas_conv_int8(
     relu: bool = False,
     boh: int = 8,
     bo: int = 128,
+    impl: str = "i8flat",
     interpret: Optional[bool] = None,
 ):
     """y = epilogue(conv2d(x, w) + bias).
@@ -165,41 +277,13 @@ def pallas_conv_int8(
     grid = (n, ohp // boh, op_ // bo)
     num_hblocks = hp // bhs
 
-    kernel = functools.partial(
-        _conv_kernel,
-        kh=kh,
-        kw=kw,
-        stride=stride,
-        boh=boh,
-        ow=ow,
-        epilogue=epilogue,
-        net=net,
-        out_signed=out_signed,
-        relu=relu,
-    )
     out_dtype = jnp.int32 if epilogue == "int32" else jnp.int8
-    y = pl.pallas_call(
-        kernel,
+    common = dict(
         out_shape=jax.ShapeDtypeStruct((n, ohp, ow, op_), out_dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, bhs, wp, c), lambda ni, i, j: (ni, i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, bhs, wp, c),
-                lambda ni, i, j, _nb=num_hblocks: (ni, jnp.minimum(i + 1, _nb - 1), 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (kh, kw, c, bo), lambda ni, i, j: (0, 0, 0, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, bo), lambda ni, i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec(
             (1, boh, ow, bo), lambda ni, i, j: (ni, i, 0, j), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((boh * ow, bo), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
@@ -209,5 +293,52 @@ def pallas_conv_int8(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, x, w, b2)
+    )
+    x_specs = [
+        pl.BlockSpec(
+            (1, bhs, wp, c), lambda ni, i, j: (ni, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, bhs, wp, c),
+            lambda ni, i, j, _nb=num_hblocks: (ni, jnp.minimum(i + 1, _nb - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if impl == "bigk":
+        kernel = functools.partial(
+            _conv_kernel_bigk,
+            kh=kh, kw=kw, stride=stride, boh=boh, ow=ow,
+            epilogue=epilogue, net=net, out_signed=out_signed, relu=relu,
+        )
+        w2 = w.reshape(kh * kw * c, op_)
+        y = pl.pallas_call(
+            kernel,
+            in_specs=x_specs
+            + [
+                pl.BlockSpec(
+                    (kh * kw * c, bo), lambda ni, i, j: (0, j), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((1, bo), lambda ni, i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((boh * ow, kh * kw * c), jnp.int8)],
+            **common,
+        )(x, x, w2, b2)
+    else:
+        kernel = functools.partial(
+            _conv_kernel,
+            kh=kh, kw=kw, stride=stride, boh=boh, ow=ow,
+            epilogue=epilogue, net=net, out_signed=out_signed, relu=relu, impl=impl,
+        )
+        y = pl.pallas_call(
+            kernel,
+            in_specs=x_specs
+            + [
+                pl.BlockSpec(
+                    (kh, kw, c, bo), lambda ni, i, j: (0, 0, 0, j), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((1, bo), lambda ni, i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((boh, ow, bo), jnp.int32)],
+            **common,
+        )(x, x, w, b2)
     return y[:, :oh, :, :o]

@@ -91,3 +91,23 @@ def speed_of_light(model, image_size: int, batch: int, seconds_per_batch: float,
     achieved = flops / seconds_per_batch / 1e12
     peak = PEAK_TOPS.get((chip_kind(), dtype), float("nan"))
     return achieved, achieved / peak
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/f8net_trace"):
+    """jax.profiler trace scope; open the result with xprof/tensorboard.
+    (The reference's only tracing is a wall-time decorator; this exposes the
+    full XLA op-level timeline.)"""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region for the profiler timeline."""
+    return jax.profiler.TraceAnnotation(name)
