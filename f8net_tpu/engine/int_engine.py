@@ -20,12 +20,8 @@ and requant amounts are Python ints resolved at trace time.
 
 from __future__ import annotations
 
-import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 from ..nn.quant_layers import AVGPOOL_SHIFT
@@ -211,12 +207,14 @@ class _Walker:
                     stride=spec.stride[0], padding=spec.padding[0],
                     pad_value=pad_value, epilogue="requant8",
                     net=pl.out_fl - cons.input_fl, out_signed=cons.input_symmetric,
+                    impl="rows",
                 )
                 return IAct(y8, cons.input_fl, packed_for=pack_output_for)
             y = pallas_conv_int8(
                 act.x, p["w"], b,
                 stride=spec.stride[0], padding=spec.padding[0],
                 pad_value=pad_value, epilogue="int32",
+                impl="rows",
             )
             return IAct(y, pl.out_fl)
 

@@ -21,7 +21,7 @@ take the exact-f32 XLA path and the 3-channel head conv stays on XLA.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

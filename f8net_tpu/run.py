@@ -47,9 +47,21 @@ def main(argv=None):
     trainer = Trainer(model, cfg, tcfg)
     params, state, opt = trainer.init(jax.random.PRNGKey(tcfg.random_seed))
 
+    if extras.get("fp_pretrained_file"):
+        # full-precision init from our own npz checkpoint (the floating-model
+        # training output), the analog of fp_pretrained_file (fix_train.py:840-862)
+        trees, _ = load_checkpoint(extras["fp_pretrained_file"])
+        params, state = trees["params"], trees["state"]
+        print(f"Loaded full precision model {extras['fp_pretrained_file']}.")
+
     if extras.get("pretrained_file"):
-        params, state = load_reference_checkpoint(model, extras["pretrained_file"], params, state)
-        print(f"Loaded model {extras['pretrained_file']}.")
+        pf = extras["pretrained_file"]
+        if pf.endswith((".npz",)) or os.path.exists(pf + ".npz"):
+            trees, _ = load_checkpoint(pf)
+            params, state = trees["params"], trees["state"]
+        else:
+            params, state = load_reference_checkpoint(model, pf, params, state)
+        print(f"Loaded model {pf}.")
 
     # data
     image_size = tcfg.image_size
