@@ -84,7 +84,10 @@ def main():
     x = jnp.round(255.0 * jax.random.uniform(jax.random.PRNGKey(1), (batch, 224, 224, 3))).astype(jnp.int32)
 
     nb = len(model.blocks)
-    marks = [0] + list(range(1, nb + 1))
+    step = max(1, nb // 5)
+    marks = [0] + list(range(step, nb + 1, step))
+    if marks[-1] != nb:
+        marks.append(nb)
     prev = 0.0
     print(f"{model_name} b{batch} {'pallas' if use_pallas else 'xla'} prefix timings:")
     for k in marks:

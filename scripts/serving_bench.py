@@ -41,7 +41,7 @@ def main():
 
     img = np.asarray(
         jnp.round(255 * jax.random.uniform(jax.random.PRNGKey(1), (224, 224, 3)))
-    ).astype(np.int32)
+    ).astype(np.uint8)
     # warm the executable at the serving batch size
     eng(jnp.asarray(np.repeat(img[None], batch, 0)))
 

@@ -85,7 +85,7 @@ def main():
 
     from f8net_tpu.engine.serve import ServingEngine
 
-    img = np.asarray(jnp.round(255 * jax.random.uniform(jax.random.PRNGKey(1), (224, 224, 3)))).astype(np.int32)
+    img = np.asarray(jnp.round(255 * jax.random.uniform(jax.random.PRNGKey(1), (224, 224, 3)))).astype(np.uint8)
     eng(jnp.asarray(np.repeat(img[None], 64, 0)))  # compile at serving batch
     srv = ServingEngine(eng, batch_size=64, max_wait_ms=8.0).start()
     lat, lock = [], threading.Lock()
