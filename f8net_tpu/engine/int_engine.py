@@ -190,6 +190,13 @@ class _Walker:
         act = self.pack_for(act, name)
         p = self.params[name]
 
+        # f32-exact fast path: depthwise convs (no MXU win in int) and
+        # tiny-C heads (XLA's int conv is pathological at C=3: measured 5 ms
+        # of a 15 ms MobileNetV2 at batch 256).  Exact while
+        # taps * 128 * 127 < 2^24 (heads: 7*7*3 taps << the bound); dense
+        # 1x1/3x3 convs with real channel counts stay on the int8 matmul path.
+        exact_f32 = spec.is_depthwise or spec.in_ch <= 8
+
         if self._pallas_eligible(spec):
             from ..ops.pallas_conv import pallas_conv_int8
 
@@ -220,13 +227,13 @@ class _Walker:
 
         if self.int8_operands:
             if pl.input_symmetric:
-                y = _conv_int(act.x, p["w"], spec, exact_f32=spec.is_depthwise) + p["b"]
+                y = _conv_int(act.x, p["w"], spec, exact_f32=exact_f32) + p["b"]
             else:
                 b = p.get("b_zp")
                 if b is None:
                     b = p["b"] + 128 * jnp.sum(p["w"].astype(jnp.int32), axis=(0, 1, 2))
                 y = _conv_int(
-                    act.x, p["w"], spec, pad_value=-128, exact_f32=spec.is_depthwise
+                    act.x, p["w"], spec, pad_value=-128, exact_f32=exact_f32
                 ) + b
         else:
             y = _conv_int(act.x, p["w"].astype(jnp.int32), spec) + p["b"]

@@ -95,43 +95,65 @@ class ServingEngine:
         return items
 
     def _loop(self):
+        """One-deep pipeline: while batch k's results are fetched (the only
+        blocking step), batch k+1 is already collected, transferred, and
+        enqueued on the device -- JAX dispatch is asynchronous, so the
+        device computes k+1 during the host-side routing of k."""
+        pending = []  # list of (device_logits, items, valid)
         while not self._stop.is_set():
             items = self._collect()
-            if not items:
-                continue
+            launched = []
+            if items:
+                try:
+                    launched = self._launch(items)
+                except Exception as e:  # route errors to the waiting futures
+                    for _, fut in items:
+                        if not fut.done():
+                            fut.set_exception(e)
+            for logits_dev, its, valid in pending:
+                try:
+                    self._route(np.asarray(logits_dev), its, valid)
+                except Exception as e:
+                    for _, fut in its:
+                        if not fut.done():
+                            fut.set_exception(e)
+            pending = launched
+        for logits_dev, its, valid in pending:  # drain on shutdown
             try:
-                self._dispatch(items)
-            except Exception as e:  # route errors to the waiting futures
-                for _, fut in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+                self._route(np.asarray(logits_dev), its, valid)
+            except Exception:
+                pass
 
-    def _dispatch(self, items):
+    def _launch(self, items):
+        """Enqueue device work for the collected requests; non-blocking."""
         arrays = [a for a, _ in items]
         batch = np.concatenate(arrays, axis=0)
         n = batch.shape[0]
-        # pad to the fixed device batch (static shape -> single executable);
-        # oversized multi-image requests are split across dispatches
+        out = []
+        # oversized multi-image requests split across full device batches
         while n > self.batch_size:
             head, batch = batch[: self.batch_size], batch[self.batch_size :]
             n = batch.shape[0]
-            self._run_and_route(head, items, full=True)
+            out.append((self._run(head), items, None))
         pad = self.batch_size - n
         padded = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)]) if pad else batch
         self.stats["padded"] += pad
-        self._run_and_route(padded, items, full=False, valid=n)
+        out.append((self._run(padded), items, n))
+        return out
 
-    _offset_key = "_serving_offset"
-
-    def _run_and_route(self, device_batch, items, full: bool, valid: Optional[int] = None):
+    def _run(self, device_batch):
         x = jnp.asarray(device_batch)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             x = jax.device_put(x, NamedSharding(self.mesh, P("data")))
-        logits = np.asarray(self.engine(x))
+        return self.engine(x)  # async dispatch; np.asarray blocks later
+
+    _offset_key = "_serving_offset"
+
+    def _route(self, logits, items, valid: Optional[int] = None):
         self.stats["batches"] += 1
-        self.stats["images"] += valid if valid is not None else device_batch.shape[0]
+        self.stats["images"] += valid if valid is not None else logits.shape[0]
         # route rows back to futures in arrival order
         row = 0
         for arr, fut in items:

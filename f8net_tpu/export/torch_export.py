@@ -72,6 +72,7 @@ def build_torch_int_model(model, plan, int_params, cfg=None):
             return y, p.out_fl
 
         def forward(self, x):
+            x = x.int()  # accept uint8/int8 wire dtypes
             fl = plan["head"].input_fl
             x, fl = self._conv_head(x, fl)
             x = self._body(x, fl)
