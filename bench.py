@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--engine", choices=["xla", "pallas"], default="xla")
+    ap.add_argument("--f32-taps", type=int, default=0)
     args = ap.parse_args()
 
     from f8net_tpu.engine import IntEngine
@@ -54,7 +55,7 @@ def main():
     params, state = model.init(jax.random.PRNGKey(0))
     plan, int_params = bake_plan(model, params, state)
 
-    eng = IntEngine(model, plan, int_params, int_only=True, use_pallas=args.engine == "pallas")
+    eng = IntEngine(model, plan, int_params, int_only=True, use_pallas=args.engine == "pallas", f32_taps=args.f32_taps)
     x = jnp.round(
         255.0
         * jax.random.uniform(

@@ -136,6 +136,7 @@ class _Walker:
         int_only: bool,
         int8_operands: bool = True,
         use_pallas: bool = False,
+        f32_taps: int = 0,
     ):
         self.model = model
         self.graph = model.graph
@@ -145,6 +146,9 @@ class _Walker:
         self.int_only = int_only
         self.int8_operands = int8_operands
         self.use_pallas = use_pallas
+        # convs whose kh*kw*(C/groups) <= f32_taps also use the f32-exact
+        # path (the bound for bit-exactness is 1024: taps*128*127 < 2^24)
+        self.f32_taps = min(f32_taps, 1024)
 
     # -- integer path -------------------------------------------------------
 
@@ -195,7 +199,9 @@ class _Walker:
         # of a 15 ms MobileNetV2 at batch 256).  Exact while
         # taps * 128 * 127 < 2^24 (heads: 7*7*3 taps << the bound); dense
         # 1x1/3x3 convs with real channel counts stay on the int8 matmul path.
-        exact_f32 = spec.is_depthwise or spec.in_ch <= 8
+        kh, kw = spec.kernel
+        taps = kh * kw * (spec.in_ch // spec.groups)
+        exact_f32 = spec.is_depthwise or spec.in_ch <= 8 or taps <= self.f32_taps
 
         if self._pallas_eligible(spec):
             from ..ops.pallas_conv import pallas_conv_int8
@@ -390,7 +396,7 @@ def _classifier_sim(w: _Walker, x):
 
 def int_forward(
     model, plan, int_params, x, cfg=None,
-    int8_operands: bool = True, use_pallas: bool = False,
+    int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
 ):
     """Integer-only forward.  `x` is the conditioned uint8-range input:
     round(255*image) as int32 (unnormalized pipeline, fraclen 8), or the
@@ -398,6 +404,7 @@ def int_forward(
     return _forward(
         model, plan, int_params, x, cfg,
         int_only=True, int8_operands=int8_operands, use_pallas=use_pallas,
+        f32_taps=f32_taps,
     )
 
 
@@ -425,10 +432,12 @@ def add_zero_point_bias(model, plan, int_params):
 
 def _forward(
     model, plan, int_params, x, cfg, int_only: bool,
-    int8_operands: bool = True, use_pallas: bool = False,
+    int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
 ):
     cfg = cfg or model.cfg
-    w = _Walker(model, plan, int_params, cfg, int_only, int8_operands, use_pallas)
+    w = _Walker(
+        model, plan, int_params, cfg, int_only, int8_operands, use_pallas, f32_taps
+    )
     fam = model.name
     head_pl = plan["head"]
 
@@ -522,6 +531,7 @@ class IntEngine:
         int_only: bool = True,
         int8_operands: bool = True,
         use_pallas: bool = False,
+        f32_taps: int = 0,
     ):
         self.model = model
         self.plan = plan
@@ -535,7 +545,8 @@ class IntEngine:
         if int_only:
             self._jit = jax.jit(
                 lambda p, xx: int_forward(
-                    self.model, self.plan, p, xx, self.cfg, int8_operands, use_pallas
+                    self.model, self.plan, p, xx, self.cfg, int8_operands,
+                    use_pallas, f32_taps,
                 )
             )
         else:
