@@ -123,3 +123,38 @@ def test_tp_sharded_eval_matches_replicated():
     fwd = jax.jit(lambda p, s, xx: model.forward(p, s, xx, "eval", CFG)[0])
     out = fwd(pd, sd, xd)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_tp_sharded_int_engine_matches_replicated():
+    """The integer engine under out-channel tensor parallelism: int8 weights
+    sharded over 'model', batch over 'data', logits bit-equal to
+    single-device."""
+    import jax.numpy as jnp
+
+    from f8net_tpu.engine import IntEngine
+    from f8net_tpu.engine.int_engine import int_forward
+    from f8net_tpu.parallel import int_param_shardings
+    from f8net_tpu.quant import bake_plan
+
+    cfg = QuantConfig(
+        format_from_metric=True, metric="std", quant_bias=True, quant_avgpool=True
+    )
+    model = get_model("resnet18", cfg, num_classes=16)
+    params, state = model.init(jax.random.PRNGKey(0))
+    x = jnp.round(255 * jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3))) / 256
+    _, state = model.apply(params, state, x, mode="train")
+    plan, ip = bake_plan(model, params, state)
+    eng = IntEngine(model, plan, ip)
+    xi = eng.condition_input(x)
+    ref = np.asarray(eng(xi))
+
+    mesh = make_mesh(data=4, model=2)
+    psh = int_param_shardings(model.graph, eng.int_params, mesh, tensor_parallel=True)
+    ipd = jax.tree_util.tree_map(
+        lambda a, sh: jax.device_put(a, sh), eng.int_params, psh,
+        is_leaf=lambda v: not isinstance(v, dict),
+    )
+    xd = jax.device_put(xi, batch_sharding(mesh))
+    fwd = jax.jit(lambda p, v: int_forward(model, plan, p, v, cfg))
+    out = np.asarray(fwd(ipd, xd))
+    np.testing.assert_array_equal(out, ref)
