@@ -204,8 +204,6 @@ class _Walker:
         exact_f32 = spec.is_depthwise or spec.in_ch <= 8 or taps <= self.f32_taps
 
         if self._pallas_eligible(spec):
-            from ..ops.pallas_conv import pallas_conv_int8
-
             if pl.input_symmetric:
                 b, pad_value = p["b"], 0
             else:
@@ -213,6 +211,31 @@ class _Walker:
                 if b is None:
                     b = p["b"] + 128 * jnp.sum(p["w"].astype(jnp.int32), axis=(0, 1, 2))
                 pad_value = -128
+
+            is_1x1 = spec.kernel == (1, 1) and spec.stride == (1, 1) and spec.padding == (0, 0)
+            if is_1x1:
+                # 1x1 convs are plain GEMMs (no im2col): the Pallas int8 GEMM
+                # with fused requant epilogue, M = N*H*W
+                from ..ops.pallas_gemm import int8_gemm
+
+                n_, h_, w_, c_ = act.x.shape
+                x2 = act.x.reshape(n_ * h_ * w_, c_)
+                w2 = p["w"].reshape(c_, spec.out_ch)
+                if pack_output_for is not None:
+                    cons = self.plan[pack_output_for]
+                    y2 = int8_gemm(
+                        x2, w2, b, epilogue="requant8",
+                        net=pl.out_fl - cons.input_fl,
+                        out_signed=cons.input_symmetric,
+                        bm=512, bn=512, bk=1024,
+                    )
+                    y8 = y2.reshape(n_, h_, w_, spec.out_ch)
+                    return IAct(y8, cons.input_fl, packed_for=pack_output_for)
+                y2 = int8_gemm(x2, w2, b, epilogue="int32", bm=512, bn=512, bk=1024)
+                return IAct(y2.reshape(n_, h_, w_, spec.out_ch), pl.out_fl)
+
+            from ..ops.pallas_conv import pallas_conv_int8
+
             if pack_output_for is not None:
                 cons = self.plan[pack_output_for]
                 y8 = pallas_conv_int8(
