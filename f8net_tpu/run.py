@@ -152,7 +152,7 @@ def main(argv=None):
         best_val = float(meta.get("best_val", 1.0))
         print(f"Loaded checkpoint {log_dir} at epoch {last_epoch}.")
 
-    if extras.get("bn_calib_before_test"):
+    if tcfg.bn_calib_before_test:
         print("Start calibration.")
         from .quant.calibrate import reset_bn_for_calib
 

@@ -129,7 +129,7 @@ class Trainer:
         """loader yields (images NHWC float [0,1] or normalized, labels int32)."""
         t0 = time.time()
         sched = lr_schedule(self.tcfg, steps_per_epoch)
-        totals: Dict[str, float] = {}
+        totals: Dict[str, Any] = {}
         nb = 0
         for batch_idx, (images, labels) in enumerate(loader):
             if phase == "train":
@@ -148,8 +148,12 @@ class Trainer:
                 new_state, metrics = self.eval_step(params, state, images, labels)
                 del new_state  # eval leaves state untouched
             nb += 1
+            # accumulate on device (async dispatch); one host sync per epoch,
+            # not per batch -- per-batch float() costs a full round trip on
+            # relay-attached hosts
             for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+                totals[k] = v if k not in totals else totals[k] + v
+        totals = {k: float(v) for k, v in totals.items()}
         n = max(totals.get("n", 1.0), 1.0)
         results = {"loss": totals.get("loss", 0.0) / max(nb, 1)}
         for k in self.tcfg.topk:
