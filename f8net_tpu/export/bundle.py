@@ -9,7 +9,6 @@ with no framework-specific opcodes.
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 from typing import Tuple

@@ -12,8 +12,6 @@ execution of the same plan, after XLA and the C++ golden kernels).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from ..nn.spec import ConvBNSpec

@@ -14,13 +14,12 @@ building the mesh (the analog of init_dist, distributed.py:16-26).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..nn.spec import ConvBNSpec, LinearSpec
+from ..nn.spec import ConvBNSpec
 
 
 def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:

@@ -17,7 +17,6 @@ import sys
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def main(argv=None):
@@ -26,7 +25,7 @@ def main(argv=None):
     from .importers import load_reference_checkpoint
     from .models import get_model
     from .quant import bake_plan
-    from .train import Trainer, load_checkpoint, save_checkpoint, sgd_init
+    from .train import Trainer, load_checkpoint, save_checkpoint
     from .utils.flags import from_flags, load_yaml, parse_argv
     from .utils.reporting import fraclen_report
 

@@ -12,14 +12,12 @@ gradient all-reduce (see f8net_tpu.parallel).
 
 from __future__ import annotations
 
-import functools
 import time
-from typing import Any, Callable, Dict, NamedTuple, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.fxp import fix_quant
 from .optim import sgd_init, sgd_update, weight_decay_mask
 from .schedules import lr_schedule
 

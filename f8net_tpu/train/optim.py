@@ -14,7 +14,7 @@ Update rule matches torch.optim.SGD (dampening 0):
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

