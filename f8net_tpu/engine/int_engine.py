@@ -62,13 +62,18 @@ def _conv_int(
     else:
         padding = [(ph, ph), (pw, pw)]
     if exact_f32:
+        # bf16 operands, f32 accumulation: 8-bit values (|v| <= 128, weights
+        # <= 127) are exactly representable in bf16, products are computed in
+        # f32, and the accumulator stays under 2^24 -- bit-exact at half the
+        # materialized-operand traffic of f32 casts
         y = lax.conv_general_dilated(
-            x.astype(jnp.float32),
-            w.astype(jnp.float32),
+            x.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
             window_strides=spec.stride,
             padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=spec.groups,
+            preferred_element_type=jnp.float32,
         )
         return y.astype(jnp.int32)
     return lax.conv_general_dilated(
@@ -254,13 +259,29 @@ class _Walker:
             )
             return IAct(y, pl.out_fl)
 
+        is_1x1 = spec.kernel == (1, 1) and spec.stride == (1, 1) and spec.padding == (0, 0) and spec.groups == 1
         if self.int8_operands:
-            if pl.input_symmetric:
-                y = _conv_int(act.x, p["w"], spec, exact_f32=exact_f32) + p["b"]
-            else:
+            if not pl.input_symmetric:
                 b = p.get("b_zp")
                 if b is None:
                     b = p["b"] + 128 * jnp.sum(p["w"].astype(jnp.int32), axis=(0, 1, 2))
+            else:
+                b = p["b"]
+            if is_1x1 and not exact_f32:
+                # express 1x1 convs as dots; note the current XLA TPU
+                # pipeline canonicalizes reshape+dot back into a convolution
+                # (verified in optimized HLO), so this is today a no-op kept
+                # for backends/pipelines where the s8 dot path survives
+                n_, h_, w_, c_ = act.x.shape
+                y2 = jnp.matmul(
+                    act.x.reshape(n_ * h_ * w_, c_),
+                    p["w"].reshape(c_, spec.out_ch),
+                    preferred_element_type=jnp.int32,
+                )
+                y = y2.reshape(n_, h_, w_, spec.out_ch) + b
+            elif pl.input_symmetric:
+                y = _conv_int(act.x, p["w"], spec, exact_f32=exact_f32) + b
+            else:
                 y = _conv_int(
                     act.x, p["w"], spec, pad_value=-128, exact_f32=exact_f32
                 ) + b
