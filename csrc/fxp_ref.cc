@@ -14,17 +14,19 @@
 
 extern "C" {
 
-// round-half-to-even right shift (or left shift when net < 0), clamped to
-// the symmetric signed or unsigned 8-bit range when wl == 8, or int32 range.
-static inline int32_t rhe_shift(int64_t x, int net) {
-  if (net <= 0) return (int32_t)(x << (-net));
-  const int64_t half = 1LL << (net - 1);
-  const int64_t mod = x & ((1LL << net) - 1);  // x mod 2^net, non-negative
-  int64_t res = x + half;
-  if (mod == half) {
-    return (int32_t)((res >> (net + 1)) << 1);
+// round-half-to-even right shift (or left shift when net < 0).  The bias
+// add deliberately wraps in int32 like the reference's torch path (and our
+// jnp path): x near INT32_MAX with net > 0 wraps negative before the shift.
+// Bit-parity with the deployed integer graphs beats mathematical nicety.
+static inline int32_t rhe_shift(int32_t x, int net) {
+  if (net <= 0) return (int32_t)((uint32_t)x << (-net));
+  const int32_t half = (int32_t)1 << (net - 1);
+  const uint32_t mod = (uint32_t)x & (((uint32_t)1 << net) - 1);
+  int32_t res = (int32_t)((uint32_t)x + (uint32_t)half);  // wrapping add
+  if (mod == (uint32_t)half) {
+    return (res >> (net + 1)) << 1;
   }
-  return (int32_t)(res >> net);
+  return res >> net;
 }
 
 void shift_requant_i32(const int32_t* x, int32_t* out, int64_t n, int wl,
@@ -33,7 +35,7 @@ void shift_requant_i32(const int32_t* x, int32_t* out, int64_t n, int wl,
   const int32_t bound = signedness ? ((1 << (wl - 1)) - 1) : ((1 << wl) - 1);
   const int32_t lo = signedness ? -bound : 0;
   for (int64_t i = 0; i < n; ++i) {
-    int32_t r = rhe_shift((int64_t)x[i], net);
+    int32_t r = rhe_shift(x[i], net);
     out[i] = std::min(std::max(r, lo), bound);
   }
 }
