@@ -232,11 +232,11 @@ class _Walker:
                         x2, w2, b, epilogue="requant8",
                         net=pl.out_fl - cons.input_fl,
                         out_signed=cons.input_symmetric,
-                        bm=512, bn=512, bk=1024,
+                        bm=2048, bn=512, bk=1024,
                     )
                     y8 = y2.reshape(n_, h_, w_, spec.out_ch)
                     return IAct(y8, cons.input_fl, packed_for=pack_output_for)
-                y2 = int8_gemm(x2, w2, b, epilogue="int32", bm=512, bn=512, bk=1024)
+                y2 = int8_gemm(x2, w2, b, epilogue="int32", bm=2048, bn=512, bk=1024)
                 return IAct(y2.reshape(n_, h_, w_, spec.out_ch), pl.out_fl)
 
             from ..ops.pallas_conv import pallas_conv_int8
