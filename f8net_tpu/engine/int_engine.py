@@ -220,13 +220,18 @@ class _Walker:
             is_1x1 = spec.kernel == (1, 1) and spec.stride == (1, 1) and spec.padding == (0, 0)
             if is_1x1:
                 # 1x1 convs are plain GEMMs (no im2col): the Pallas int8 GEMM
-                # with fused requant epilogue, M = N*H*W
+                # with fused requant epilogue, M = N*H*W.  pallas_xla_epilogue
+                # is a diagnostic: GEMM emits int32 and the requant runs as an
+                # XLA fusion instead (isolates kernel-epilogue VPU cost).
+                import os as _os
+
                 from ..ops.pallas_gemm import int8_gemm
 
+                xla_epi = _os.environ.get("F8NET_PALLAS_XLA_EPILOGUE") == "1"
                 n_, h_, w_, c_ = act.x.shape
                 x2 = act.x.reshape(n_ * h_ * w_, c_)
                 w2 = p["w"].reshape(c_, spec.out_ch)
-                if pack_output_for is not None:
+                if pack_output_for is not None and not xla_epi:
                     cons = self.plan[pack_output_for]
                     y2 = int8_gemm(
                         x2, w2, b, epilogue="requant8",
@@ -237,7 +242,10 @@ class _Walker:
                     y8 = y2.reshape(n_, h_, w_, spec.out_ch)
                     return IAct(y8, cons.input_fl, packed_for=pack_output_for)
                 y2 = int8_gemm(x2, w2, b, epilogue="int32", bm=2048, bn=512, bk=1024)
-                return IAct(y2.reshape(n_, h_, w_, spec.out_ch), pl.out_fl)
+                out = IAct(y2.reshape(n_, h_, w_, spec.out_ch), pl.out_fl)
+                if pack_output_for is not None:
+                    out = self.pack_for(out, pack_output_for)
+                return out
 
             from ..ops.pallas_conv import pallas_conv_int8
 
