@@ -228,6 +228,7 @@ class _Walker:
                 from ..ops.pallas_gemm import int8_gemm
 
                 xla_epi = _os.environ.get("F8NET_PALLAS_XLA_EPILOGUE") == "1"
+                dot_impl = _os.environ.get("F8NET_PALLAS_DOT", "s8")
                 n_, h_, w_, c_ = act.x.shape
                 x2 = act.x.reshape(n_ * h_ * w_, c_)
                 w2 = p["w"].reshape(c_, spec.out_ch)
@@ -237,11 +238,11 @@ class _Walker:
                         x2, w2, b, epilogue="requant8",
                         net=pl.out_fl - cons.input_fl,
                         out_signed=cons.input_symmetric,
-                        bm=2048, bn=512, bk=1024,
+                        bm=2048, bn=512, bk=1024, dot_impl=dot_impl,
                     )
                     y8 = y2.reshape(n_, h_, w_, spec.out_ch)
                     return IAct(y8, cons.input_fl, packed_for=pack_output_for)
-                y2 = int8_gemm(x2, w2, b, epilogue="int32", bm=2048, bn=512, bk=1024)
+                y2 = int8_gemm(x2, w2, b, epilogue="int32", bm=2048, bn=512, bk=1024, dot_impl=dot_impl)
                 out = IAct(y2.reshape(n_, h_, w_, spec.out_ch), pl.out_fl)
                 if pack_output_for is not None:
                     out = self.pack_for(out, pack_output_for)

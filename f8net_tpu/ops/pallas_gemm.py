@@ -58,17 +58,35 @@ def _gemm_kernel(
     net: int,
     out_signed: bool,
     relu: bool,
+    dot_impl: str = "s8",
 ):
     @pl.when(pl.program_id(2) == 0)
     def _zero():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    acc_ref[:] += jax.lax.dot_general(
-        x_ref[:],
-        w_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+    if dot_impl == "bf16":
+        # bf16 dots with f32 accumulation are exact for 8-bit operands while
+        # each contraction chunk stays <= 1024 (|acc| < 2^24); useful where
+        # Mosaic's s8 dot lowering is emulated rather than native
+        k = x_ref.shape[1]
+        part = None
+        for c0 in range(0, k, 1024):
+            c1 = min(c0 + 1024, k)
+            y = jax.lax.dot_general(
+                x_ref[:, c0:c1].astype(jnp.bfloat16),
+                w_ref[c0:c1, :].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            part = y if part is None else part + y
+        acc_ref[:] += part
+    else:
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:],
+            w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
 
     @pl.when(pl.program_id(2) == k_tiles - 1)
     def _epilogue():
@@ -96,6 +114,7 @@ def _gemm_kernel(
         "bm",
         "bn",
         "bk",
+        "dot_impl",
         "interpret",
     ),
 )
@@ -111,6 +130,7 @@ def int8_gemm(
     bm: int = 256,
     bn: int = 256,
     bk: int = 256,
+    dot_impl: str = "s8",
     interpret: Optional[bool] = None,
 ):
     """y[M,N] = requant(x[M,K] @ w[K,N] + bias[N]).
@@ -150,6 +170,7 @@ def int8_gemm(
         net=net,
         out_signed=out_signed,
         relu=relu,
+        dot_impl=dot_impl,
     )
     y = pl.pallas_call(
         kernel,
