@@ -111,6 +111,54 @@ void eval_preprocess_u8(const uint8_t* src, int sh, int sw, int c, int resize,
                      size, dst, mean, std_, do_norm);
 }
 
+// training preprocessing for one image: crop box (y0,x0,h,w) -> antialiased
+// resize to size x size -> optional horizontal flip -> float [0,1] (+norm).
+void train_preprocess_u8(const uint8_t* src, int sh, int sw, int c, int y0,
+                         int x0, int ch_, int cw_, int flip, int size,
+                         float* dst, const float* mean, const float* std_,
+                         int do_norm) {
+  // gather the crop into a contiguous buffer
+  std::vector<uint8_t> crop((int64_t)ch_ * cw_ * c);
+  for (int y = 0; y < ch_; ++y)
+    std::memcpy(crop.data() + (int64_t)y * cw_ * c,
+                src + ((int64_t)(y0 + y) * sw + x0) * c, (int64_t)cw_ * c);
+  std::vector<uint8_t> rs((int64_t)size * size * c);
+  resize_bilinear_u8(crop.data(), ch_, cw_, rs.data(), size, size, c);
+  for (int y = 0; y < size; ++y) {
+    for (int x = 0; x < size; ++x) {
+      const int sx = flip ? (size - 1 - x) : x;
+      for (int ch2 = 0; ch2 < c; ++ch2) {
+        float v = rs[((int64_t)y * size + sx) * c + ch2] / 255.0f;
+        if (do_norm) v = (v - mean[ch2]) / std_[ch2];
+        dst[((int64_t)y * size + x) * c + ch2] = v;
+      }
+    }
+  }
+}
+
+// batched training preprocessing: boxes[n][4] = (y0, x0, h, w), flips[n]
+void train_preprocess_batch(const uint8_t** srcs, const int* dims,
+                            const int* boxes, const uint8_t* flips, int n,
+                            int c, int size, float* dst, const float* mean,
+                            const float* std_, int do_norm, int num_threads) {
+  std::atomic<int> next(0);
+  auto work = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      train_preprocess_u8(srcs[i], dims[2 * i], dims[2 * i + 1], c,
+                          boxes[4 * i], boxes[4 * i + 1], boxes[4 * i + 2],
+                          boxes[4 * i + 3], flips[i], size,
+                          dst + (int64_t)i * size * size * c, mean, std_,
+                          do_norm);
+    }
+  };
+  int t = std::max(1, num_threads);
+  std::vector<std::thread> pool;
+  for (int i = 0; i < t; ++i) pool.emplace_back(work);
+  for (auto& th : pool) th.join();
+}
+
 // batched eval preprocessing across a thread pool.  srcs: array of pointers,
 // dims: [n][2] (h, w).  dst: n * size * size * c floats.
 void eval_preprocess_batch(const uint8_t** srcs, const int* dims, int n,

@@ -34,10 +34,9 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 _EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".ppm", ".webp")
 
 
-def train_transform(img, rng: random.Random, size: int = 224, normalize: bool = False):
-    """RandomResizedCrop(size) + HFlip, torchvision semantics (scale
-    [0.08, 1], log-uniform ratio [3/4, 4/3], bilinear)."""
-    w, h = img.size
+def sample_crop(w: int, h: int, rng: random.Random):
+    """RandomResizedCrop sampling, torchvision semantics (scale [0.08, 1],
+    log-uniform ratio [3/4, 4/3]).  Returns (y0, x0, ch, cw, flip)."""
     area = w * h
     for _ in range(10):
         target_area = area * rng.uniform(0.08, 1.0)
@@ -48,13 +47,22 @@ def train_transform(img, rng: random.Random, size: int = 224, normalize: bool = 
         if 0 < cw <= w and 0 < ch <= h:
             x0 = rng.randint(0, w - cw)
             y0 = rng.randint(0, h - ch)
-            img = img.crop((x0, y0, x0 + cw, y0 + ch))
             break
     else:  # center fallback
         s = min(w, h)
-        img = img.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
+        y0, x0, ch, cw = (h - s) // 2, (w - s) // 2, s, s
+    flip = rng.random() < 0.5
+    return y0, x0, ch, cw, flip
+
+
+def train_transform(img, rng: random.Random, size: int = 224, normalize: bool = False):
+    """RandomResizedCrop(size) + HFlip (shared sampling with the native
+    path; PIL applies the crop/resize/flip here)."""
+    w, h = img.size
+    y0, x0, ch, cw, flip = sample_crop(w, h, rng)
+    img = img.crop((x0, y0, x0 + cw, y0 + ch))
     img = img.resize((size, size), Image.BILINEAR)
-    if rng.random() < 0.5:
+    if flip:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
     return _to_array(img, normalize)
 
@@ -188,20 +196,19 @@ class Loader:
         batches = [indices[i : i + self.bs] for i in range(0, len(indices), self.bs)]
 
         use_native = False
-        if not self.train:
-            try:
-                from ..native import imageops_available
+        try:
+            from ..native import imageops_available
 
-                use_native = imageops_available()
-            except Exception:
-                use_native = False
+            use_native = imageops_available()
+        except Exception:
+            use_native = False
 
         def worker(worker_id: int):
             rng = random.Random(self.seed * 1000003 + self.epoch * 97 + worker_id)
             for bi in range(worker_id, len(batches), self.workers):
                 batch = batches[bi]
                 labels = np.empty((len(batch),), np.int32)
-                if use_native:
+                if use_native and not self.train:
                     # C++ fast path: decode via PIL, then batched antialiased
                     # resize + center-crop + normalize across native threads
                     from ..native import c_eval_preprocess_batch
@@ -214,6 +221,28 @@ class Loader:
                         raws,
                         resize=int(self.image_size * 256 / 224),
                         size=self.image_size,
+                        mean=IMAGENET_MEAN if self.normalize else None,
+                        std=IMAGENET_STD if self.normalize else None,
+                        num_threads=2,
+                    )
+                elif use_native:
+                    # C++ train fast path: python samples the crops (same RNG
+                    # stream as the PIL path), C++ does crop/resize/flip
+                    from ..native import c_train_preprocess_batch
+
+                    raws, boxes, flips = [], [], []
+                    for j, i in enumerate(batch):
+                        img, labels[j] = self.ds.load(int(i))
+                        arr = np.asarray(img.convert("RGB"), np.uint8)
+                        y0, x0, ch, cw, fl = sample_crop(
+                            arr.shape[1], arr.shape[0], rng
+                        )
+                        raws.append(arr)
+                        boxes.append((y0, x0, ch, cw))
+                        flips.append(1 if fl else 0)
+                    imgs = c_train_preprocess_batch(
+                        raws, np.asarray(boxes, np.int32),
+                        np.asarray(flips, np.uint8), self.image_size,
                         mean=IMAGENET_MEAN if self.normalize else None,
                         std=IMAGENET_STD if self.normalize else None,
                         num_threads=2,

@@ -230,7 +230,13 @@ class _Walker:
                 xla_epi = _os.environ.get("F8NET_PALLAS_XLA_EPILOGUE") == "1"
                 dot_impl = _os.environ.get("F8NET_PALLAS_DOT", "s8")
                 if _os.environ.get("F8NET_PALLAS_GEMM") == "v2":
-                    from ..ops.pallas_gemm_v2 import int8_gemm_v2 as int8_gemm  # noqa: F811
+                    import functools as _ft
+
+                    from ..ops.pallas_gemm_v2 import int8_gemm_v2
+
+                    int8_gemm = _ft.partial(  # noqa: F811
+                        int8_gemm_v2, wt=_os.environ.get("F8NET_PALLAS_WT") == "1"
+                    )
                 n_, h_, w_, c_ = act.x.shape
                 x2 = act.x.reshape(n_ * h_ * w_, c_)
                 w2 = p["w"].reshape(c_, spec.out_ch)

@@ -8,4 +8,5 @@ from .bindings import (
     c_avgpool_sum_int,
     c_gemm_int8,
     c_eval_preprocess_batch,
+    c_train_preprocess_batch,
 )

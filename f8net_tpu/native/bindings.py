@@ -148,6 +148,41 @@ def c_gemm_int8(x: np.ndarray, w: np.ndarray, bias: Optional[np.ndarray]) -> np.
     return y
 
 
+def c_train_preprocess_batch(
+    images, boxes, flips, size: int,
+    mean: Optional[np.ndarray] = None, std: Optional[np.ndarray] = None,
+    num_threads: int = 4,
+) -> np.ndarray:
+    """images: uint8 HWC arrays; boxes: (n,4) int32 (y0,x0,h,w); flips: (n,)
+    uint8 -> (n,size,size,3) f32 (crop -> antialiased resize -> flip)."""
+    lib = _load("libimageops.so")
+    if lib is None:
+        raise RuntimeError("libimageops.so not built (run make -C csrc)")
+    if not getattr(lib, "_train_sigs", False):
+        lib.train_preprocess_batch.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), _i32p, _i32p, _u8p,
+            _c, _c, _c, _f32p, _f32p, _f32p, _c, _c,
+        ]
+        lib._train_sigs = True
+    n = len(images)
+    images = [np.ascontiguousarray(im, np.uint8) for im in images]
+    ptrs = (ctypes.POINTER(ctypes.c_uint8) * n)(
+        *[im.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for im in images]
+    )
+    dims = np.array([[im.shape[0], im.shape[1]] for im in images], np.int32)
+    boxes = np.ascontiguousarray(boxes, np.int32)
+    flips = np.ascontiguousarray(flips, np.uint8)
+    out = np.empty((n, size, size, 3), np.float32)
+    do_norm = int(mean is not None)
+    mean = np.ascontiguousarray(mean if mean is not None else np.zeros(3), np.float32)
+    std = np.ascontiguousarray(std if std is not None else np.ones(3), np.float32)
+    lib.train_preprocess_batch(
+        ptrs, dims.ravel(), boxes.ravel(), flips.ravel(), n, 3, size,
+        out.ravel(), mean, std, do_norm, num_threads,
+    )
+    return out
+
+
 def c_eval_preprocess_batch(
     images, resize: int, size: int,
     mean: Optional[np.ndarray] = None, std: Optional[np.ndarray] = None,

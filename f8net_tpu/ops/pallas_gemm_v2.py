@@ -45,6 +45,7 @@ def _kernel(
     net: int,
     out_signed: bool,
     relu: bool,
+    wt: bool = False,
 ):
     j = pl.program_id(0)
 
@@ -70,12 +71,21 @@ def _kernel(
             in_dma((mi + 1) % 2, mi + 1).start()
 
         in_dma(slot, mi).wait()
-        acc = jax.lax.dot_general(
-            xs[slot],
-            w_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+        if wt:
+            # lane-by-lane contraction: weights resident transposed (BN, K)
+            acc = jax.lax.dot_general(
+                xs[slot],
+                w_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        else:
+            acc = jax.lax.dot_general(
+                xs[slot],
+                w_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
         out = acc + b_ref[:]
         if relu:
             out = jnp.maximum(out, 0)
@@ -107,7 +117,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "epilogue", "net", "out_signed", "relu", "bm", "bn", "bk",
-        "dot_impl", "interpret",
+        "dot_impl", "wt", "interpret",
     ),
 )
 def int8_gemm_v2(
@@ -123,6 +133,7 @@ def int8_gemm_v2(
     bn: int = 512,
     bk: int = 0,  # accepted for int8_gemm signature compatibility; unused
     dot_impl: str = "s8",  # ditto
+    wt: bool = False,  # weights resident transposed (BN, K); lane contraction
     interpret: Optional[bool] = None,
 ):
     """y[M,N] = epilogue(x[M,K] @ w[K,N] + bias); same contract as int8_gemm."""
@@ -147,6 +158,8 @@ def int8_gemm_v2(
     m_chunks = Mp // bm
     out_dtype = jnp.int32 if epilogue == "int32" else jnp.int8
 
+    if wt:
+        w = w.T  # (Np, Kp): lane-dim contraction layout
     kernel = functools.partial(
         _kernel,
         m_chunks=m_chunks,
@@ -156,6 +169,7 @@ def int8_gemm_v2(
         net=net,
         out_signed=out_signed,
         relu=relu,
+        wt=wt,
     )
     y = pl.pallas_call(
         kernel,
@@ -163,7 +177,9 @@ def int8_gemm_v2(
         grid=(Np // bn,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
-            pl.BlockSpec((Kp, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, Kp), lambda j: (j, 0), memory_space=pltpu.VMEM)
+            if wt
+            else pl.BlockSpec((Kp, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # manual write-back
