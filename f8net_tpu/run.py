@@ -43,8 +43,13 @@ def main(argv=None):
     model = get_model(model_name, cfg, num_classes=tcfg.num_classes)
     print(f"model: {model.name}  layers: {len(model.graph.names())}")
 
+    # per-process seed offset decorrelates augmentation across hosts
+    # (use_diff_seed, fix_train.py:807-817)
+    seed = tcfg.random_seed
+    if extras.get("use_diff_seed"):
+        seed = seed + jax.process_index()
     trainer = Trainer(model, cfg, tcfg)
-    params, state, opt = trainer.init(jax.random.PRNGKey(tcfg.random_seed))
+    params, state, opt = trainer.init(jax.random.PRNGKey(seed))
 
     if extras.get("fp_pretrained_file"):
         # full-precision init from our own npz checkpoint (the floating-model
@@ -83,12 +88,17 @@ def main(argv=None):
         shard=me,
         num_shards=nshards,
         num_workers=int(extras.get("data_loader_workers", 4)),
-        seed=tcfg.random_seed,
+        seed=seed,
     )
     val_loader = mk(val_ds, False)
     train_loader = mk(train_ds, True) if train_ds is not None else None
 
+    from .utils.flags import experiment_setting
+
     log_dir = extras.get("log_dir", "results")
+    if extras.get("experiment_subdir", True):
+        log_dir = os.path.join(log_dir, experiment_setting(cfg, tcfg, extras))
+        print(f"log dir: {log_dir}")
     os.makedirs(log_dir, exist_ok=True)
     latest = os.path.join(log_dir, "latest_checkpoint")
 

@@ -98,3 +98,34 @@ def from_flags(flags: Dict[str, Any], batch_size: Optional[int] = None):
 
 def load_experiment(path: str, batch_size: Optional[int] = None):
     return from_flags(load_yaml(path), batch_size)
+
+
+def experiment_setting(qcfg, tcfg, extras) -> str:
+    """Config-dims identity string used as the log/checkpoint subdirectory
+    (the reference's poor-man's experiment tracking, fix_train.py:608-673)."""
+    parts = [
+        f"ptcv_pretrained_{bool(extras.get('ptcv_pretrained', False))}",
+        f"nvidia_pretrained_{bool(extras.get('nvidia_pretrained', False))}",
+        f"finetune_iters_{tcfg.finetune_iters if tcfg.finetune_iters is not None else 'inf'}",
+        f"bn_calib_before_test_{tcfg.bn_calib_before_test}",
+        f"quant_avgpool_{qcfg.quant_avgpool}",
+        f"pool_fusing_{qcfg.pool_fusing}",
+        f"weight_format_wl_{qcfg.weight_format[0]}_fl_{qcfg.weight_format[1]}",
+        f"input_format_wl_{qcfg.input_format[0]}_fl_{qcfg.input_format[1]}",
+        f"rescale_forward_{qcfg.rescale_forward}",
+        f"rescale_type_{qcfg.rescale_type}",
+        f"input_fraclen_sharing_{qcfg.input_fraclen_sharing}",
+        f"floating_model_{qcfg.floating_model}",
+        f"no_clipping_{qcfg.no_clipping}",
+        f"format_type_{qcfg.format_type}",
+        f"format_from_metric_{qcfg.format_from_metric}",
+        f"metric_{qcfg.metric}",
+        f"format_grid_search_{qcfg.format_grid_search}",
+        f"lr_{tcfg.lr}",
+        f"weight_decay_scheme_{tcfg.weight_decay_scheme}",
+        f"normalize_{qcfg.normalize}",
+        f"weight_decay_{tcfg.weight_decay}",
+    ]
+    import os as _os
+
+    return _os.path.join(*parts)

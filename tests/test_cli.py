@@ -29,6 +29,7 @@ BASE = {
     "weight_decay": 0.0,
     "nesterov": True,
     "random_seed": 7,
+    "experiment_subdir": False,
 }
 
 
