@@ -129,3 +129,45 @@ def test_c_image_preprocess_close_to_pil():
     # both bilinear with half-pixel centers; small rounding differences allowed
     diff = np.abs(out[0] - ref)
     assert float(np.mean(diff)) < 0.02 and float(np.max(diff)) < 0.25
+
+
+def test_standalone_cpp_runtime_bit_equal(tmp_path):
+    """csrc/infer_main executes F8NB bundles bit-identically to the engine."""
+    import os
+    import subprocess
+
+    import jax
+    import jax.numpy as jnp
+
+    from f8net_tpu.engine import IntEngine
+    from f8net_tpu.export.native_bundle import save_native_bundle
+    from f8net_tpu.models import get_model
+    from f8net_tpu.quant import bake_plan
+    from f8net_tpu.utils import QuantConfig
+
+    binary = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc", "infer_main")
+    if not os.path.exists(binary):
+        subprocess.run(["make", "-C", os.path.dirname(binary), "infer_main"], check=False, capture_output=True)
+    if not os.path.exists(binary):
+        pytest.skip("infer_main not built")
+
+    cfg = QuantConfig(format_from_metric=True, metric="std", quant_bias=True,
+                      quant_avgpool=True, pool_fusing=True)
+    model = get_model("resnet18", cfg, num_classes=10)
+    params, state = model.init(jax.random.PRNGKey(0))
+    x = jnp.round(255 * jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))) / 256
+    _, state = model.apply(params, state, x, mode="train")
+    plan, ip = bake_plan(model, params, state)
+    eng = IntEngine(model, plan, ip)
+    xi = eng.condition_input(x)
+    ref = np.asarray(eng(xi)).astype(np.int64)
+
+    bundle = os.path.join(tmp_path, "m.f8nb")
+    raw = os.path.join(tmp_path, "in.raw")
+    save_native_bundle(bundle, model, plan, ip)
+    np.asarray(xi, np.int32).tofile(raw)
+    out = subprocess.run([binary, bundle, raw, "2", "32", "32"],
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[:300]
+    got = np.array([[int(v) for v in ln.split()] for ln in out.stdout.strip().splitlines()])
+    np.testing.assert_array_equal(got, ref)
