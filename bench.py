@@ -30,7 +30,7 @@ def _time_fn(fn, *args, iters=10, warmup=2):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="resnet18")
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--engine", choices=["xla", "pallas"], default="xla")
