@@ -25,7 +25,7 @@ def main(argv=None):
     from .importers import load_reference_checkpoint
     from .models import get_model
     from .quant import bake_plan
-    from .train import Trainer, load_checkpoint, save_checkpoint
+    from .train import AsyncCheckpointer, Trainer, load_checkpoint, save_checkpoint
     from .utils.flags import from_flags, load_yaml, parse_argv
     from .utils.reporting import fraclen_report
 
@@ -180,6 +180,7 @@ def main(argv=None):
         return
 
     print("Start training.")
+    ckpt = AsyncCheckpointer()  # overlap checkpoint IO with the next epoch
     steps = max(len(train_loader), 1)
     for epoch in range(last_epoch, tcfg.num_epochs):
         train_loader.set_epoch(epoch)
@@ -192,17 +193,18 @@ def main(argv=None):
         if me == 0:
             if res["top1_error"] < best_val:
                 best_val = res["top1_error"]
-                save_checkpoint(
+                ckpt.save(
                     os.path.join(log_dir, "best_model"),
                     {"params": params, "state": state},
                     meta={"best_val": best_val},
                 )
                 print(f"New best validation top1 error: {best_val:.3f}")
-            save_checkpoint(
+            ckpt.save(
                 latest,
                 {"params": params, "state": state, "opt_momentum": opt.momentum},
                 meta={"last_epoch": epoch + 1, "best_val": best_val},
             )
+    ckpt.close()  # make all queued checkpoints durable before reporting
     fraclen_report(model, params, state, cfg)
 
 

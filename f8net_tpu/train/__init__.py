@@ -7,4 +7,4 @@ from .loop import (
     make_train_step,
     make_eval_step,
 )
-from .checkpoint import save_checkpoint, load_checkpoint
+from .checkpoint import AsyncCheckpointer, save_checkpoint, load_checkpoint

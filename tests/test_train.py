@@ -144,3 +144,51 @@ def test_checkpoint_roundtrip(tmp_path):
         state,
         trees["state"],
     )
+
+
+def test_async_checkpointer(tmp_path):
+    import numpy as np
+
+    from f8net_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint
+
+    ck = AsyncCheckpointer()
+    path = str(tmp_path / "latest")
+    # queue several saves of the same path: last one must win
+    for epoch in range(4):
+        trees = {"params": {"w": np.full((8, 8), epoch, np.float32)}}
+        ck.save(path, trees, meta={"last_epoch": epoch})
+    ck.wait()
+    trees, meta = load_checkpoint(path)
+    assert meta == {"last_epoch": 3}
+    np.testing.assert_array_equal(trees["params"]["w"], np.full((8, 8), 3, np.float32))
+
+    # distinct paths all get written
+    for name in ("a", "b"):
+        ck.save(str(tmp_path / name), {"x": np.arange(3)}, meta={"n": name})
+    ck.close()
+    for name in ("a", "b"):
+        _, meta = load_checkpoint(str(tmp_path / name))
+        assert meta == {"n": name}
+
+
+def test_async_checkpointer_surfaces_errors(tmp_path, monkeypatch):
+    import numpy as np
+    import pytest
+
+    import f8net_tpu.train.checkpoint as C
+
+    ck = C.AsyncCheckpointer()
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(C.np, "savez", boom)
+    ck.save(str(tmp_path / "x"), {"x": np.arange(2)})
+    with pytest.raises(OSError, match="disk full"):
+        ck.wait()
+    # checkpointer stays usable after the error is surfaced
+    monkeypatch.undo()
+    ck.save(str(tmp_path / "y"), {"x": np.arange(2)})
+    ck.close()
+    trees, _ = C.load_checkpoint(str(tmp_path / "y"))
+    np.testing.assert_array_equal(trees["x"], np.arange(2))
