@@ -49,6 +49,7 @@ void conv2d_int(const int32_t* x, const int8_t* w, const int32_t* bias,
   const int wo = (W + 2 * pw - kw) / sw + 1;
   const int ci_per_g = C / groups;
   const int co_per_g = O / groups;
+#pragma omp parallel for collapse(2) schedule(static)
   for (int n = 0; n < N; ++n) {
     for (int oy = 0; oy < ho; ++oy) {
       for (int ox = 0; ox < wo; ++ox) {
@@ -104,6 +105,7 @@ void avgpool_sum_int(const int32_t* x, int32_t* y, int N, int H, int W, int C) {
 // int8 GEMM with int32 accumulation: y[M,N] = x[M,K] @ w[K,N] + bias
 void gemm_int8(const int8_t* x, const int8_t* w, const int32_t* bias,
                int32_t* y, int M, int K, int N) {
+#pragma omp parallel for schedule(static)
   for (int m = 0; m < M; ++m) {
     for (int n = 0; n < N; ++n) {
       int64_t acc = bias ? bias[n] : 0;
