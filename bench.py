@@ -10,11 +10,20 @@ throughput numbers -- BASELINE.md).
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persist compiled executables next to the repo: through the remote-compile
+# tunnel a cold model build costs 5-10 min, a disk-cache hit ~seconds.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _time_fn(fn, *args, iters=10, warmup=2):
