@@ -39,7 +39,9 @@ def _trained_model(name, cfg, steps=3, hw=32, n=2, num_classes=10, seed=0):
     return model, params, state, x
 
 
-@pytest.mark.parametrize("name", ["resnet18", "resnet50", "mobilenet_v1", "mobilenet_v2"])
+@pytest.mark.parametrize(
+    "name", ["resnet18", "resnet34", "resnet50", "resnet101", "mobilenet_v1", "mobilenet_v2"]
+)
 def test_float_sim_equals_int_only_bitexact(name):
     model, params, state, x = _trained_model(name, BASE)
     plan, int_params = bake_plan(model, params, state)
