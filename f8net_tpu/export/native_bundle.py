@@ -67,3 +67,58 @@ def save_native_bundle(path: str, model, plan, int_params) -> str:
     with open(path, "wb") as f:
         f.write(bytes(out))
     return path
+
+
+def load_native_bundle(path: str) -> dict:
+    """Parse an F8NB bundle back into Python (inspection / round-trip checks
+    without the C++ runtime).  Returns {family, num_classes, quant_avgpool,
+    blocks: [{body, shortcut, residual}], layers: [conv/linear dicts]}."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:4] != MAGIC:
+        raise ValueError("not an F8NB bundle")
+    off = 4
+
+    def ints(n):
+        nonlocal off
+        vals = struct.unpack_from(f"<{n}i", raw, off)
+        off += 4 * n
+        return vals
+
+    version, family, num_classes, quant_avgpool, n_layers, n_blocks = ints(6)
+    if version != VERSION:
+        raise ValueError(f"unsupported F8NB version {version}")
+    blocks = []
+    for _ in range(n_blocks):
+        (n_body,) = ints(1)
+        body = list(ints(n_body))
+        shortcut, residual = ints(2)
+        blocks.append({"body": body, "shortcut": shortcut if shortcut >= 0 else None,
+                       "residual": bool(residual)})
+    layers = []
+    for _ in range(n_layers):
+        kind, input_fl, weight_fl, symmetric = ints(4)
+        rec = {"input_fl": input_fl, "weight_fl": weight_fl, "symmetric": bool(symmetric)}
+        if kind == 0:
+            kh, kw, cin, cout, stride, pad, groups = ints(7)
+            wn = kh * kw * (cin // groups) * cout
+            w = np.frombuffer(raw, np.int8, wn, off).reshape(kh, kw, cin // groups, cout)
+            off += wn
+            b = np.frombuffer(raw, np.int32, cout, off)
+            off += 4 * cout
+            rec.update(kind="conv", kernel=(kh, kw), in_ch=cin, out_ch=cout,
+                       stride=stride, padding=pad, groups=groups, w=w, b=b)
+        else:
+            fin, fout, has_b = ints(3)
+            w = np.frombuffer(raw, np.int8, fin * fout, off).reshape(fin, fout)
+            off += fin * fout
+            b = None
+            if has_b:
+                b = np.frombuffer(raw, np.int32, fout, off)
+                off += 4 * fout
+            rec.update(kind="linear", in_features=fin, out_features=fout, w=w, b=b)
+        layers.append(rec)
+    if off != len(raw):
+        raise ValueError(f"trailing bytes in bundle ({len(raw) - off})")
+    return {"family": family, "num_classes": num_classes,
+            "quant_avgpool": bool(quant_avgpool), "blocks": blocks, "layers": layers}

@@ -80,3 +80,32 @@ def test_torchscript_trace_and_save(tmp_path):
     with torch.no_grad():
         y_t = loaded(xt).numpy()
     np.testing.assert_array_equal(y_t, np.asarray(eng(xi)))
+
+
+def test_native_bundle_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from f8net_tpu.export import load_native_bundle, save_native_bundle
+    from f8net_tpu.models import get_model
+    from f8net_tpu.quant import bake_plan
+    from f8net_tpu.utils import QuantConfig
+
+    cfg = QuantConfig(format_from_metric=True, metric="std", quant_bias=True,
+                      quant_avgpool=True, pool_fusing=True)
+    model = get_model("mobilenet_v2", cfg, num_classes=10)
+    params, state = model.init(jax.random.PRNGKey(0))
+    x = jnp.round(255 * jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))) / 256
+    _, state = model.apply(params, state, x, mode="train")
+    plan, ip = bake_plan(model, params, state)
+
+    path = str(tmp_path / "m.f8nb")
+    save_native_bundle(path, model, plan, ip)
+    b = load_native_bundle(path)
+    assert b["family"] == 2 and b["num_classes"] == 10 and b["quant_avgpool"]
+    assert len(b["layers"]) == len(plan.layers)
+    for rec, p in zip(b["layers"], plan.layers):
+        assert rec["input_fl"] == p.input_fl and rec["weight_fl"] == p.weight_fl
+        np.testing.assert_array_equal(rec["w"], np.asarray(ip[p.name]["w"]))
+    assert b["layers"][-1]["kind"] == "linear"
