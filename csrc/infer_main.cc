@@ -13,6 +13,7 @@
 //   grid (round(255*image) for the unnormalized pipeline).
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -251,7 +252,9 @@ int main(int argc, char** argv) {
   }
   std::vector<int32_t> pooled((int64_t)a.n * a.c);
   avgpool_sum_int(a.x.data(), pooled.data(), a.n, a.h, a.w, a.c);
-  int fl = a.fl + 6;
+  // FXQAvgPool2d shift = round(log2(k*k)), derived from the actual pooled
+  // extent (fix_quant_ops.py:117-124); 6 for the ImageNet 7x7 case.
+  int fl = a.fl + (int)lround(log2((double)a.h * (double)a.w));
 
   // classifier
   const Linear& fc = m.linears.back();

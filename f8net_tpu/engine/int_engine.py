@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..nn.quant_layers import AVGPOOL_SHIFT
+from ..nn.quant_layers import avgpool_shift_for
 from ..nn.spec import ConvBNSpec
 from ..ops.fxp import fix_quant, shift_requant
 
@@ -531,9 +531,13 @@ def _forward(
                 a = _block_mbv2_int(w, meta, a, nxt)
             a = w.relu_i32(w.conv_int("tail", a))
 
-        # global average pool
+        # global average pool (shift derived from the built pool extent,
+        # fix_quant_ops.py:117-124)
         if cfg.quant_avgpool:
-            a = IAct(jnp.sum(a.x, (1, 2)), a.fl + AVGPOOL_SHIFT)
+            a = IAct(
+                jnp.sum(a.x, (1, 2)),
+                a.fl + avgpool_shift_for(getattr(model, "pool_kernel", 7)),
+            )
         else:
             # reference falls back to float mean on this path
             # (fix_resnet.py:375-382)
@@ -574,7 +578,9 @@ def _forward(
         hx = jnp.maximum(hx, 0.0)
 
     if cfg.quant_avgpool:
-        hx = jnp.sum(hx, (1, 2)) / 2.0**AVGPOOL_SHIFT
+        hx = jnp.sum(hx, (1, 2)) / 2.0 ** avgpool_shift_for(
+            getattr(model, "pool_kernel", 7)
+        )
     else:
         hx = jnp.mean(hx, (1, 2))
     return _classifier_sim(w, hx)

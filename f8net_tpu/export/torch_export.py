@@ -39,6 +39,9 @@ def build_torch_int_model(model, plan, int_params, cfg=None):
 
     cfg = cfg or model.cfg
     graph = model.graph
+    from ..nn.quant_layers import avgpool_shift_for
+
+    _POOL_SHIFT = avgpool_shift_for(getattr(model, "pool_kernel", 7))
 
     class TorchIntModel(nn.Module):
         def __init__(self):
@@ -105,7 +108,7 @@ def build_torch_int_model(model, plan, int_params, cfg=None):
                 # torch promotes the int32 sum to int64; back to int32 like
                 # the reference (fix_quant_ops.py:130-133)
                 x = x.sum(dim=(2, 3)).int()
-                fl = fl + 6
+                fl = fl + _POOL_SHIFT
             else:
                 m = x.float().mean(dim=(2, 3)) / (2.0**fl)
                 p = plan["classifier"]

@@ -35,7 +35,8 @@ class Model:
     conv_order: List[str]  # layer names in the reference's named_modules order
     num_classes: int = 1000
     blocks: Any = None  # per-block metadata (body conv names, shortcut)
-    pool_fuse_layer: Optional[str] = None  # conv that absorbs 2^6/49 at int conversion
+    pool_fuse_layer: Optional[str] = None  # conv that absorbs 2^s/k^2 at int conversion
+    pool_kernel: int = 7  # global-avgpool extent (image_size // 32)
 
     def init(self, rng):
         """Init params/state pytrees with the reference's reset_parameters

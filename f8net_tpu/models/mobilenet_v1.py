@@ -32,7 +32,7 @@ class BlockMeta(NamedTuple):
     body: List[str]  # [depthwise, pointwise]
 
 
-def build_mobilenet_v1(cfg, num_classes: int = 1000) -> Model:
+def build_mobilenet_v1(cfg, num_classes: int = 1000, pool_kernel: int = 7) -> Model:
     specs = {}
     conv_order: List[str] = []
     blocks: List[BlockMeta] = []
@@ -96,7 +96,7 @@ def build_mobilenet_v1(cfg, num_classes: int = 1000) -> Model:
             a = r.conv(meta.body[0], a)
             a = r.conv(meta.body[1], a)
             a = r.relu(a)
-        a = fxq_avgpool(a, 7) if c.quant_avgpool else adaptive_avgpool(a)
+        a = fxq_avgpool(a, pool_kernel) if c.quant_avgpool else adaptive_avgpool(a)
         a = r.linear("classifier", a)
         return a.x, r.finalize()
 
@@ -112,4 +112,5 @@ def build_mobilenet_v1(cfg, num_classes: int = 1000) -> Model:
         pool_fuse_layer=(
             blocks[-1].body[-1] if (cfg.quant_avgpool and cfg.pool_fusing) else None
         ),
+        pool_kernel=pool_kernel,
     )

@@ -16,7 +16,7 @@ import dataclasses
 from typing import List, NamedTuple, Optional
 
 from ..nn.quant_layers import (
-    AVGPOOL_SCALE,
+    avgpool_scale_for,
     Act,
     adaptive_avgpool,
     fxq_avgpool,
@@ -42,7 +42,7 @@ class BlockMeta(NamedTuple):
     residual: bool
 
 
-def build_mobilenet_v2(cfg, num_classes: int = 1000) -> Model:
+def build_mobilenet_v2(cfg, num_classes: int = 1000, pool_kernel: int = 7) -> Model:
     specs = {}
     conv_order: List[str] = []
     blocks: List[BlockMeta] = []
@@ -127,7 +127,7 @@ def build_mobilenet_v2(cfg, num_classes: int = 1000) -> Model:
         kernel=(1, 1),
         double_side=True,
         master=master,
-        avgpool_scale=AVGPOOL_SCALE if pool_fuse else 1.0,
+        avgpool_scale=avgpool_scale_for(pool_kernel) if pool_fuse else 1.0,
     )
     conv_order.append("tail")
     for tl in prev_tail:
@@ -157,7 +157,7 @@ def build_mobilenet_v2(cfg, num_classes: int = 1000) -> Model:
                     a = Act(a.x + a_in.x, None)
         a = r.conv("tail", a)
         a = r.relu(a)
-        a = fxq_avgpool(a, 7) if c.quant_avgpool else adaptive_avgpool(a)
+        a = fxq_avgpool(a, pool_kernel) if c.quant_avgpool else adaptive_avgpool(a)
         a = r.linear("classifier", a)
         return a.x, r.finalize()
 
@@ -171,4 +171,5 @@ def build_mobilenet_v2(cfg, num_classes: int = 1000) -> Model:
         num_classes=num_classes,
         blocks=blocks,
         pool_fuse_layer="tail" if pool_fuse else None,
+        pool_kernel=pool_kernel,
     )

@@ -20,6 +20,7 @@ from ..nn.quant_layers import (
     Act,
     adaptive_avgpool,
     fxq_avgpool,
+    fxq_maxpool,
     maxpool,
     residual_add_int_sim,
 )
@@ -56,7 +57,9 @@ def _conv(name, inp, outp, k, stride=1, pad=0, groups=1, **kw):
     )
 
 
-def build_resnet(cfg, depth: int = 18, num_classes: int = 1000) -> Model:
+def build_resnet(
+    cfg, depth: int = 18, num_classes: int = 1000, pool_kernel: int = 7
+) -> Model:
     bottleneck = EXPANSION[depth] == 4
     setting = BLOCK_SETTING[depth]
 
@@ -142,10 +145,13 @@ def build_resnet(cfg, depth: int = 18, num_classes: int = 1000) -> Model:
         r = Runner(graph, c, params, state, mode)
         a = r.conv("head", Act(x))
         a = r.relu(a)
-        a = maxpool(a, 3, 2, 1)
+        # quant_maxpool swaps in the reference's zero-padding FXQMaxPool2d
+        # (fix_resnet.py:331-334); identical on the non-negative post-ReLU
+        # input but int-dtype-safe and fraclen-preserving.
+        a = fxq_maxpool(a, 3, 2, 1) if c.quant_maxpool else maxpool(a, 3, 2, 1)
         for meta in blocks:
             a = _block_forward(r, meta, a)
-        a = fxq_avgpool(a, 7) if c.quant_avgpool else adaptive_avgpool(a)
+        a = fxq_avgpool(a, pool_kernel) if c.quant_avgpool else adaptive_avgpool(a)
         a = r.linear("classifier", a)
         return a.x, r.finalize()
 
@@ -160,6 +166,7 @@ def build_resnet(cfg, depth: int = 18, num_classes: int = 1000) -> Model:
     )
     model.blocks = blocks
     model.pool_fuse_layer = pool_fuse_layer
+    model.pool_kernel = pool_kernel
     return model
 
 

@@ -40,11 +40,25 @@ from .spec import ConvBNSpec, LayerGraph, LinearSpec
 
 INT32_BOUND = float((1 << 31) - 1)
 
-# Global 7x7 average pool as a power-of-two shift: shift = round(log2(49)) = 6.
-# The residual factor 2^6/49 is folded into the preceding conv's weights when
+# Global average pool as a power-of-two shift: shift = round(log2(k^2)),
+# derived from the actual pooled extent (fix_quant_ops.py:117-124).  The
+# residual factor 2^shift/k^2 is folded into the preceding conv's weights when
 # pool_fusing is on (fix_quant_ops.py:117-138).
-AVGPOOL_SHIFT = int(round(math.log2(49)))
-AVGPOOL_SCALE = 2.0**AVGPOOL_SHIFT / 49.0
+
+
+def avgpool_shift_for(kernel: int) -> int:
+    """shiftnum = round(log2(k*k)) of the reference's FXQAvgPool2d."""
+    return max(int(round(math.log2(float(kernel * kernel)))), 0)
+
+
+def avgpool_scale_for(kernel: int) -> float:
+    """Pool-fusing residue 2^shift / k^2 folded into the preceding conv."""
+    return 2.0 ** avgpool_shift_for(kernel) / float(kernel * kernel)
+
+
+# Legacy constants for the ImageNet 224 -> 7x7 case.
+AVGPOOL_SHIFT = avgpool_shift_for(7)
+AVGPOOL_SCALE = avgpool_scale_for(7)
 
 
 class Act(NamedTuple):
@@ -385,6 +399,15 @@ def conv_bn_apply(
     # --- conv ----------------------------------------------------------------
     if cfg.int_infer and not training:
         # integer-valued float simulation (fix_quant_ops.py:418-431)
+        if cfg.format_type == "per_channel":
+            # A per-channel output fraclen has no consumer contract (residual
+            # adds and pooling align scalar fls); the reference's own
+            # per-channel int_infer path fails at the same division
+            # (fix_quant_ops.py:430 broadcasts (O,1,1,1) against (N,O,H,W)).
+            raise NotImplementedError(
+                "int_infer requires format_type='per_layer'; per-channel "
+                "fraclens have no integer-inference scale contract"
+            )
         int_w = jnp.round(w_q * jnp.exp2(w_fl))
         int_x = jnp.round(x_val * jnp.exp2(in_fl))
         int_b = jnp.round(bias * jnp.exp2(in_fl + w_fl))
@@ -493,7 +516,10 @@ def linear_apply(
         if bias is not None:
             y = y + jnp.round(bias * jnp.exp2(in_fl + w_fl))
         y = jnp.clip(y, -INT32_BOUND, INT32_BOUND)
-        y = y / jnp.exp2((w_fl + in_fl).reshape(-1)[:1])
+        # w_fl is (1,) per-layer or (out,) per-channel; either broadcasts
+        # correctly over the (N, out) logits, and logits have no downstream
+        # fraclen consumer, so per-channel is well-defined here.
+        y = y / jnp.exp2(w_fl + in_fl)
         return Act(y, None), updates
 
     y = x_val @ w_q
@@ -518,7 +544,13 @@ def fxq_avgpool(act, kernel: int = 7) -> Act:
     (fix_quant_ops.py:117-138).  Float-simulation path; the integer engine
     has its own int32 variant."""
     a = as_act(act)
-    shift = int(round(math.log2(kernel**2)))
+    if a.x.shape[1] != kernel or a.x.shape[2] != kernel:
+        raise ValueError(
+            f"fxq_avgpool built for a {kernel}x{kernel} extent got "
+            f"{a.x.shape[1]}x{a.x.shape[2]}; build the model with the matching "
+            f"image_size so the pool shift/fusing scale are consistent"
+        )
+    shift = avgpool_shift_for(kernel)
     y = jnp.sum(a.x, (1, 2)) / (2.0**shift)
     fl = None if a.fl is None else a.fl + shift
     return Act(y, fl)

@@ -22,7 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..nn.quant_layers import AVGPOOL_SCALE, fix_scaling, input_fraclen
+from ..nn.quant_layers import (
+    avgpool_scale_for,
+    avgpool_shift_for,
+    fix_scaling,
+    input_fraclen,
+)
 from ..nn.spec import ConvBNSpec, LinearSpec
 from ..ops.fxp import fix_quant, fraclen_gridsearch, metric2fraclen, metric_fn
 
@@ -112,17 +117,20 @@ def bake_plan(model, params, state, cfg=None):
 
     int_params[name] = {'w': int8 HWIO (conv) / (in,out) (linear),
                         'b': int32} at the scale 2^(input_fl + weight_fl).
-    Pool fusing: the conversion-time scale 2^6/49 is folded into
+    Pool fusing: the conversion-time scale 2^shift/k^2 is folded into
     model.pool_fuse_layer's weights and bias (reference int_conv's
     avgpool_scale argument, fix_quant_ops.py:680-714).
     """
     cfg = cfg or model.cfg
     graph = model.graph
+    pool_k = getattr(model, "pool_kernel", 7)
     plans = []
     int_params = {}
     for name in graph.names():
         spec = graph[name]
-        conv_scale = AVGPOOL_SCALE if name == model.pool_fuse_layer else 1.0
+        conv_scale = (
+            avgpool_scale_for(pool_k) if name == model.pool_fuse_layer else 1.0
+        )
         if isinstance(spec, ConvBNSpec):
             w_eff, bias = folded_weight_bias(graph, cfg, name, params, state)
             w_eff = np.asarray(w_eff) * conv_scale
@@ -184,4 +192,30 @@ def bake_plan(model, params, state, cfg=None):
         if int_b is not None:
             entry["b"] = jnp.asarray(int_b)
         int_params[name] = entry
+
+    if cfg.quant_avgpool:
+        # Static mirror of the reference's runtime int-avgpool overflow assert
+        # (fix_quant_ops.py:126-133: int64-promoted sum checked against 2^32,
+        # output_fraclen checked against 32).  The pool input is an int32
+        # activation whose fraclen is at most the largest conv out_fl in the
+        # graph (residual adds align on the max), so both bounds are checkable
+        # once, here, with compile-time constants.
+        shift = avgpool_shift_for(pool_k)
+        max_out_fl = max(p.out_fl for p in plans)
+        assert max_out_fl + shift <= 32, (
+            f"avgpool output_fraclen {max_out_fl + shift} > 32 "
+            f"(pool {pool_k}x{pool_k}, shift {shift})"
+        )
+        # Accumulator headroom: a pooled sum that does not saturate the
+        # classifier's 8-bit input grid after the requant satisfies
+        # |sum| <= 256 * 2^(fl_pool - cls_in_fl); demand that every such
+        # meaningful sum is representable in int32.  (The reference asserts
+        # the same property dynamically on int64-promoted sums,
+        # fix_quant_ops.py:129-133; sums past this bound clamp downstream.)
+        cls_in_fl = plans[-1].input_fl
+        sum_bound = 256 * 2 ** max(max_out_fl + shift - cls_in_fl, 0)
+        assert sum_bound < (1 << 31), (
+            f"avgpool over {pool_k}x{pool_k} can overflow the int32 accumulator "
+            f"(meaningful-sum bound {sum_bound} >= 2^31)"
+        )
     return QuantPlan(tuple(plans)), int_params

@@ -40,7 +40,9 @@ def main(argv=None):
     model_name = str(extras.get("model", "fix_resnet")).split(".")[-1]
     if model_name == "fix_resnet":
         model_name = f"resnet{extras.get('depth', 18)}"
-    model = get_model(model_name, cfg, num_classes=tcfg.num_classes)
+    model = get_model(
+        model_name, cfg, num_classes=tcfg.num_classes, image_size=tcfg.image_size
+    )
     print(f"model: {model.name}  layers: {len(model.graph.names())}")
 
     # per-process seed offset decorrelates augmentation across hosts

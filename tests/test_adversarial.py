@@ -25,7 +25,7 @@ class TestDegenerate:
         assert float(metric2fraclen(jnp.asarray(0.0), "std", 1.0, False)) == 8.0
 
     def test_all_zero_image_through_everything(self):
-        model = get_model("resnet18", CFG, num_classes=10)
+        model = get_model("resnet18", CFG, num_classes=10, image_size=32)
         params, state = model.init(jax.random.PRNGKey(0))
         x = jnp.zeros((1, 32, 32, 3))
         logits, new_state = model.apply(params, state, x, mode="train")
@@ -36,7 +36,7 @@ class TestDegenerate:
         assert np.all(np.isfinite(np.asarray(y)))
 
     def test_constant_image(self):
-        model = get_model("mobilenet_v1", CFG, num_classes=10)
+        model = get_model("mobilenet_v1", CFG, num_classes=10, image_size=32)
         params, state = model.init(jax.random.PRNGKey(0))
         x = jnp.full((1, 32, 32, 3), 0.5)
         logits, _ = model.apply(params, state, x, mode="train")
@@ -44,7 +44,7 @@ class TestDegenerate:
 
     def test_saturating_activations(self):
         # alpha tiny -> fix_scaling tiny -> folded weights huge -> saturation
-        model = get_model("resnet18", CFG, num_classes=10)
+        model = get_model("resnet18", CFG, num_classes=10, image_size=32)
         params, state = model.init(jax.random.PRNGKey(0))
         for name in params:
             if "alpha" in params[name]:
@@ -89,7 +89,7 @@ class TestDegenerate:
 @pytest.mark.parametrize("name", ["resnet18", "mobilenet_v2"])
 def test_cross_mode_fuzz(name, seed):
     """Seeded fuzz of float-sim == int-only (different init + data each run)."""
-    model = get_model(name, CFG, num_classes=7)
+    model = get_model(name, CFG, num_classes=7, image_size=32)
     params, state = model.init(jax.random.PRNGKey(seed))
     x = jnp.round(255 * jax.random.uniform(jax.random.PRNGKey(seed + 1), (2, 32, 32, 3))) / 256
     for _ in range(2):

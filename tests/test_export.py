@@ -25,7 +25,7 @@ CFG = QuantConfig(
 
 
 def _trained(name, hw=32, seed=0):
-    model = get_model(name, CFG, num_classes=10)
+    model = get_model(name, CFG, num_classes=10, image_size=32)
     params, state = model.init(jax.random.PRNGKey(seed))
     x = jnp.round(255 * jax.random.uniform(jax.random.PRNGKey(seed + 1), (2, hw, hw, 3))) / 256
     for _ in range(2):
@@ -94,7 +94,7 @@ def test_native_bundle_roundtrip(tmp_path):
 
     cfg = QuantConfig(format_from_metric=True, metric="std", quant_bias=True,
                       quant_avgpool=True, pool_fusing=True)
-    model = get_model("mobilenet_v2", cfg, num_classes=10)
+    model = get_model("mobilenet_v2", cfg, num_classes=10, image_size=32)
     params, state = model.init(jax.random.PRNGKey(0))
     x = jnp.round(255 * jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))) / 256
     _, state = model.apply(params, state, x, mode="train")

@@ -31,7 +31,7 @@ BASE = QuantConfig(
 
 
 def _trained_model(name, cfg, steps=3, hw=32, n=2, num_classes=10, seed=0):
-    model = get_model(name, cfg, num_classes=num_classes)
+    model = get_model(name, cfg, num_classes=num_classes, image_size=hw)
     params, state = model.init(jax.random.PRNGKey(seed))
     x = jnp.round(255 * jax.random.uniform(jax.random.PRNGKey(seed + 1), (n, hw, hw, 3))) / 256
     for _ in range(steps):
@@ -66,9 +66,16 @@ def test_qat_modes_agree_with_engine_resnet18():
     eng_int = IntEngine(model, plan, int_params, int_only=True)
     y_d = np.asarray(eng_int(eng_int.condition_input(x)))
 
-    # d is on the 2^out_fl grid; b is at real scale
+    # d is on the 2^out_fl grid; b is at real scale.  b quantizes the pooled
+    # activation with float round-half-even (fix_quant) while d requantized it
+    # with the integer tie-fix (int_op_only_fix_quant) -- the reference pair
+    # diverges identically at exact .5-ulp ties (fix_quant_ops.py:15-45 vs
+    # :418-431), flipping a handful of classifier inputs by one ulp.
     scale = 2.0 ** plan["classifier"].out_fl
-    np.testing.assert_allclose(np.asarray(logits_b), y_d / scale, rtol=0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(logits_b), y_d / scale, rtol=0, atol=5e-2)
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(logits_b), -1), np.argmax(y_d, -1)
+    )
     # QAT-sim eval is the loosest mode; same predictions, close logits
     np.testing.assert_array_equal(
         np.argmax(np.asarray(logits_a), -1), np.argmax(y_d, -1)
@@ -108,7 +115,7 @@ def test_engine_jit_static_shifts():
 
 def test_normalized_pipeline_engine():
     cfg = BASE.replace(normalize=True)
-    model = get_model("resnet18", cfg, num_classes=10)
+    model = get_model("resnet18", cfg, num_classes=10, image_size=32)
     params, state = model.init(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
     for _ in range(3):
@@ -142,6 +149,79 @@ def test_pallas_engine_bitexact_vs_xla():
         e_pal = IntEngine(model, plan, int_params, int_only=True, use_pallas=True)
         xi = e_xla.condition_input(x)
         np.testing.assert_array_equal(np.asarray(e_pal(xi)), np.asarray(e_xla(xi)))
+
+
+def test_quant_maxpool_wiring():
+    """quant_maxpool swaps FXQMaxPool2d into the ResNet head
+    (fix_resnet.py:331-334).  On the non-negative post-ReLU input the
+    zero-padding pool is value-identical to the stock -inf-padding pool, so
+    the two configs must agree bit-for-bit; the engines must stay bit-equal."""
+    model_q, params, state, x = _trained_model("resnet18", BASE.replace(quant_maxpool=True))
+    model_s = get_model("resnet18", BASE, num_classes=10, image_size=32)
+
+    yq, _ = model_q.apply(params, state, x, mode="eval")
+    ys, _ = model_s.apply(params, state, x, mode="eval")
+    np.testing.assert_array_equal(np.asarray(yq), np.asarray(ys))
+
+    plan, int_params = bake_plan(model_q, params, state)
+    ei = IntEngine(model_q, plan, int_params, int_only=True)
+    es = IntEngine(model_q, plan, int_params, int_only=False)
+    np.testing.assert_array_equal(
+        np.asarray(ei(ei.condition_input(x))), np.asarray(es(es.condition_input(x)))
+    )
+
+
+@pytest.mark.parametrize("name,hw", [("resnet18", 96), ("mobilenet_v1", 64)])
+def test_non224_pool_extent_all_modes(name, hw):
+    """Non-224 input sizes: the avgpool shift/pool-fusing scale must be
+    derived from the actual pooled extent (fix_quant_ops.py:117-124).
+    96 -> 3x3 pool (shift 3, residue 8/9, non-trivial); 64 -> 2x2 (shift 2,
+    residue 1).  All four modes must stay consistent."""
+    model, params, state, x = _trained_model(name, BASE, hw=hw)
+    plan, int_params = bake_plan(model, params, state)
+
+    ei = IntEngine(model, plan, int_params, int_only=True)
+    es = IntEngine(model, plan, int_params, int_only=False)
+    y_int = np.asarray(ei(ei.condition_input(x)))
+    y_sim = np.asarray(es(es.condition_input(x)))
+    np.testing.assert_array_equal(y_int, y_sim)
+
+    # int_infer QAT graph agrees at real scale (no pool fusing in QAT)
+    cfg_nf = BASE.replace(pool_fusing=False)
+    model_nf, params_nf, state_nf, x_nf = _trained_model(name, cfg_nf, hw=hw)
+    plan_nf, ip_nf = bake_plan(model_nf, params_nf, state_nf)
+    logits_b, _ = model_nf.apply(
+        params_nf, state_nf, x_nf, mode="eval", cfg=cfg_nf.replace(int_infer=True)
+    )
+    e_nf = IntEngine(model_nf, plan_nf, ip_nf, int_only=True)
+    y_d = np.asarray(e_nf(e_nf.condition_input(x_nf)))
+    scale = 2.0 ** plan_nf["classifier"].out_fl
+    # .5-ulp tie flips between float round-half-even and the integer tie-fix
+    # (see test_qat_modes_agree_with_engine_resnet18)
+    np.testing.assert_allclose(np.asarray(logits_b), y_d / scale, rtol=0, atol=5e-2)
+
+
+def test_mismatched_pool_extent_raises():
+    """Building for 224 (7x7 pool) but feeding 32x32 must be a loud error,
+    not a silently wrong shift."""
+    model = get_model("resnet18", BASE, num_classes=10, image_size=224)
+    params, state = model.init(jax.random.PRNGKey(0))
+    x = jnp.round(255 * jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))) / 256
+    with pytest.raises(ValueError, match="extent"):
+        model.apply(params, state, x, mode="eval")
+
+
+def test_per_channel_int_infer_guard():
+    """per-channel fraclens have no integer-inference scale contract on the
+    conv path (the reference's own per-channel int_infer fails the same way,
+    fix_quant_ops.py:430): require a clear error, not channel-0 truncation."""
+    cfg = BASE.replace(format_type="per_channel", pool_fusing=False)
+    model = get_model("resnet18", cfg, num_classes=10, image_size=32)
+    params, state = model.init(jax.random.PRNGKey(0))
+    x = jnp.round(255 * jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))) / 256
+    _, state = model.apply(params, state, x, mode="train")
+    with pytest.raises(NotImplementedError, match="per_layer"):
+        model.apply(params, state, x, mode="eval", cfg=cfg.replace(int_infer=True))
 
 
 def test_engine_without_quant_avgpool():

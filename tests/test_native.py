@@ -94,7 +94,7 @@ def test_c_engine_block_vs_jax_engine():
     from f8net_tpu.utils import QuantConfig
 
     cfg = QuantConfig(format_from_metric=True, metric="std", quant_bias=True, quant_avgpool=True)
-    model = get_model("resnet18", cfg, num_classes=10)
+    model = get_model("resnet18", cfg, num_classes=10, image_size=32)
     params, state = model.init(jax.random.PRNGKey(0))
     x = jnp.round(255 * jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))) / 256
     _, state = model.apply(params, state, x, mode="train")
@@ -153,7 +153,7 @@ def test_standalone_cpp_runtime_bit_equal(tmp_path):
 
     cfg = QuantConfig(format_from_metric=True, metric="std", quant_bias=True,
                       quant_avgpool=True, pool_fusing=True)
-    model = get_model("resnet18", cfg, num_classes=10)
+    model = get_model("resnet18", cfg, num_classes=10, image_size=32)
     params, state = model.init(jax.random.PRNGKey(0))
     x = jnp.round(255 * jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))) / 256
     _, state = model.apply(params, state, x, mode="train")

@@ -139,7 +139,7 @@ def test_tp_sharded_int_engine_matches_replicated():
     cfg = QuantConfig(
         format_from_metric=True, metric="std", quant_bias=True, quant_avgpool=True
     )
-    model = get_model("resnet18", cfg, num_classes=16)
+    model = get_model("resnet18", cfg, num_classes=16, image_size=32)
     params, state = model.init(jax.random.PRNGKey(0))
     x = jnp.round(255 * jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3))) / 256
     _, state = model.apply(params, state, x, mode="train")
