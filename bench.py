@@ -42,7 +42,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--engine", choices=["xla", "pallas"], default="xla")
+    ap.add_argument(
+        "--engine", choices=["xla", "pallas", "pallas1x1"], default="xla"
+    )
     ap.add_argument("--f32-taps", type=int, default=0)
     args = ap.parse_args()
 
@@ -60,11 +62,14 @@ def main():
         quant_avgpool=True,
         pool_fusing=True,
     )
-    model = get_model(args.model, cfg, num_classes=1000)
+    model = get_model(
+        args.model, cfg, num_classes=1000, image_size=args.image_size
+    )
     params, state = model.init(jax.random.PRNGKey(0))
     plan, int_params = bake_plan(model, params, state)
 
-    eng = IntEngine(model, plan, int_params, int_only=True, use_pallas=args.engine == "pallas", f32_taps=args.f32_taps)
+    pallas_mode = {"xla": False, "pallas": "all", "pallas1x1": "1x1"}[args.engine]
+    eng = IntEngine(model, plan, int_params, int_only=True, use_pallas=pallas_mode, f32_taps=args.f32_taps)
     x = jnp.round(
         255.0
         * jax.random.uniform(

@@ -176,12 +176,23 @@ class _Walker:
         return IAct(v8, pl.input_fl, packed_for=name)
 
     def _pallas_eligible(self, spec) -> bool:
+        """use_pallas modes: False/'' off; 'all' routes every dense conv
+        through the Pallas kernels; '1x1' routes only the 1x1 stride-1 GEMM
+        convs (the shapes where the big-M Pallas GEMM measures faster than
+        XLA's s32 conv: 219 vs 84 TOP/s at K=128, 203 vs 177 at K=576 --
+        results/r2_gemm_probe.jsonl) and keeps KxK convs on XLA."""
+        if not self.use_pallas or not self.int8_operands:
+            return False
+        if spec.groups != 1 or spec.in_ch < 16:
+            return False
+        if self.use_pallas == "1x1":
+            return (
+                spec.kernel == (1, 1)
+                and spec.stride == (1, 1)
+                and spec.padding == (0, 0)
+            )
         return (
-            self.use_pallas
-            and self.int8_operands
-            and spec.groups == 1
-            and spec.in_ch >= 16
-            and spec.stride[0] == spec.stride[1]
+            spec.stride[0] == spec.stride[1]
             and spec.stride[0] in (1, 2)
             and spec.padding[0] == spec.padding[1]
         )

@@ -24,10 +24,15 @@ def init_dist(
     """Per-host initialization (init_dist analog, distributed.py:16-26).
     With no arguments, uses the TPU environment's auto-detection; call once
     before any jax computation on every host."""
-    if jax.process_count() > 1 or coordinator_address is None:
-        # already initialized or single-process auto mode
-        if coordinator_address is None:
-            return jax.process_index()
+    if jax.distributed.is_initialized():
+        # the distributed runtime is already up (e.g. TPU pod auto-init, or a
+        # second init_dist call); re-initializing raises in jax.  NOTE: the
+        # check must not touch the backend -- jax.process_count() would
+        # initialize XLA and make a subsequent initialize() impossible.
+        return jax.process_index()
+    if coordinator_address is None:
+        # single-process / auto mode: nothing to set up
+        return jax.process_index()
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
