@@ -20,13 +20,33 @@ def test_monte_carlo_reproduces_coeff_scale():
     reference's table (signed ~40, unsigned ~70) -- order-of-magnitude check
     with a small n for speed."""
     sigmas = np.logspace(-1.5, 2.5, 41)
-    s, opt, table = sweep(n=2000, signed=True, sigmas=sigmas)
+    s, opt, table, stats = sweep(n=2000, signed=True, sigmas=sigmas)
     coeff = fit_threshold_coeff(s, opt)
     assert 10 < coeff < 160, coeff
     # optimal fraclen decreases with sigma
     assert opt[0] >= opt[-1]
     # small sigma: finest grid wins
     assert opt[0] == 7
+
+
+def test_all_metrics_fit_matches_table():
+    """All six coefficients (std/mae/rms x signed/unsigned) independently
+    re-derived by the reference's methodology
+    (fixed_quant_analysis_all_metrics.py:465-559) land within a factor ~1.5
+    of the hardcoded 40/70/30/50 table in ops/fxp.py -- the table entries are
+    themselves coarse roundings of such fits."""
+    from f8net_tpu.ops.fxp import SIGNED_COEFF, UNSIGNED_COEFF
+    from f8net_tpu.tools.error_analysis import fit_all_metrics
+
+    fits = fit_all_metrics(n=4000)
+    for signed, table in ((True, SIGNED_COEFF), (False, UNSIGNED_COEFF)):
+        for m, expected in table.items():
+            got = fits[signed][m]
+            assert expected / 1.6 < got < expected * 1.6, (signed, m, got)
+    # the key orderings the table encodes: unsigned std threshold is higher
+    # (rectified tail), mae thresholds sit below std
+    assert fits[False]["std"] > fits[True]["std"]
+    assert fits[True]["mae"] < fits[True]["std"]
 
 
 def test_error_metric_sane():
