@@ -55,11 +55,33 @@ def sample_crop(w: int, h: int, rng: random.Random):
     return y0, x0, ch, cw, flip
 
 
-def train_transform(img, rng: random.Random, size: int = 224, normalize: bool = False):
+def train_transform(
+    img,
+    rng: random.Random,
+    size: int = 224,
+    normalize: bool = False,
+    fast_decode: bool = False,
+):
     """RandomResizedCrop(size) + HFlip (shared sampling with the native
-    path; PIL applies the crop/resize/flip here)."""
+    path; PIL applies the crop/resize/flip here).
+
+    fast_decode: JPEG decode at reduced scale (PIL draft mode -- the decoder
+    skips DCT coefficients, a DALI-style speedup).  The crop box is sampled
+    on the original geometry and rescaled to the drafted image, keeping at
+    least 2x the target resolution so the final bilinear resize still
+    low-passes; numerics are close to but not bit-identical with the exact
+    pipeline (opt-in; defaults off for reference parity)."""
     w, h = img.size
     y0, x0, ch, cw, flip = sample_crop(w, h, rng)
+    if fast_decode:
+        # decode no smaller than 2x the crop target on the crop's short side
+        denom = max(1, min(ch, cw) // (2 * size))
+        if denom > 1:
+            img.draft("RGB", (max(1, w // denom), max(1, h // denom)))
+            sx, sy = img.size[0] / w, img.size[1] / h
+            x0, y0 = int(round(x0 * sx)), int(round(y0 * sy))
+            cw = max(1, min(int(round(cw * sx)), img.size[0] - x0))
+            ch = max(1, min(int(round(ch * sy)), img.size[1] - y0))
     img = img.crop((x0, y0, x0 + cw, y0 + ch))
     img = img.resize((size, size), Image.BILINEAR)
     if flip:
@@ -67,9 +89,20 @@ def train_transform(img, rng: random.Random, size: int = 224, normalize: bool = 
     return _to_array(img, normalize)
 
 
-def eval_transform(img, size: int = 224, resize: int = 256, normalize: bool = False):
+def eval_transform(
+    img,
+    size: int = 224,
+    resize: int = 256,
+    normalize: bool = False,
+    fast_decode: bool = False,
+):
     """Resize(shorter side -> resize) + CenterCrop(size)."""
     w, h = img.size
+    if fast_decode:
+        denom = max(1, min(w, h) // (2 * resize))
+        if denom > 1:
+            img.draft("RGB", (max(1, w // denom), max(1, h // denom)))
+            w, h = img.size
     if w < h:
         nw, nh = resize, max(1, int(round(h * resize / w)))
     else:
@@ -146,6 +179,7 @@ class Loader:
         num_workers: int = 4,
         seed: int = 0,
         drop_last: bool = False,
+        fast_decode: bool = False,
     ):
         self.ds = dataset
         self.bs = batch_size
@@ -157,6 +191,7 @@ class Loader:
         self.workers = max(1, num_workers)
         self.seed = seed
         self.drop_last = drop_last
+        self.fast_decode = fast_decode
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -176,7 +211,10 @@ class Loader:
     def _load_one(self, i: int, rng: random.Random):
         img, label = self.ds.load(i)
         if self.train:
-            a = train_transform(img, rng, self.image_size, self.normalize)
+            a = train_transform(
+                img, rng, self.image_size, self.normalize,
+                fast_decode=self.fast_decode,
+            )
         else:
             # shorter-side resize scales with crop size (256 for the
             # reference's 224 crops)
@@ -185,6 +223,7 @@ class Loader:
                 self.image_size,
                 resize=int(self.image_size * 256 / 224),
                 normalize=self.normalize,
+                fast_decode=self.fast_decode,
             )
         return a, label
 
@@ -214,8 +253,14 @@ class Loader:
                     from ..native import c_eval_preprocess_batch
 
                     raws = []
+                    resize_target = int(self.image_size * 256 / 224)
                     for j, i in enumerate(batch):
                         img, labels[j] = self.ds.load(int(i))
+                        if self.fast_decode:
+                            w0, h0 = img.size
+                            denom = max(1, min(w0, h0) // (2 * resize_target))
+                            if denom > 1:
+                                img.draft("RGB", (w0 // denom, h0 // denom))
                         raws.append(np.asarray(img.convert("RGB"), np.uint8))
                     imgs = c_eval_preprocess_batch(
                         raws,
@@ -233,10 +278,18 @@ class Loader:
                     raws, boxes, flips = [], [], []
                     for j, i in enumerate(batch):
                         img, labels[j] = self.ds.load(int(i))
+                        w0, h0 = img.size
+                        y0, x0, ch, cw, fl = sample_crop(w0, h0, rng)
+                        if self.fast_decode:
+                            denom = max(1, min(ch, cw) // (2 * self.image_size))
+                            if denom > 1:
+                                img.draft("RGB", (w0 // denom, h0 // denom))
+                                sx = img.size[0] / w0
+                                sy = img.size[1] / h0
+                                x0, y0 = int(round(x0 * sx)), int(round(y0 * sy))
+                                cw = max(1, min(int(round(cw * sx)), img.size[0] - x0))
+                                ch = max(1, min(int(round(ch * sy)), img.size[1] - y0))
                         arr = np.asarray(img.convert("RGB"), np.uint8)
-                        y0, x0, ch, cw, fl = sample_crop(
-                            arr.shape[1], arr.shape[0], rng
-                        )
                         raws.append(arr)
                         boxes.append((y0, x0, ch, cw))
                         flips.append(1 if fl else 0)
