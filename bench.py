@@ -46,6 +46,14 @@ def main():
         "--engine", choices=["xla", "pallas", "pallas1x1"], default="xla"
     )
     ap.add_argument("--f32-taps", type=int, default=0)
+    ap.add_argument(
+        "--border-bias", action="store_true", default=False,
+        help="replace -128 zero-point pads with the border-bias map "
+        "(A/B'd slower on-chip 2026-08-17; XLA already fuses the pads)",
+    )
+    ap.add_argument(
+        "--maxpool", choices=["single", "separable", "sliced"], default="single"
+    )
     args = ap.parse_args()
 
     from f8net_tpu.engine import IntEngine
@@ -69,7 +77,11 @@ def main():
     plan, int_params = bake_plan(model, params, state)
 
     pallas_mode = {"xla": False, "pallas": "all", "pallas1x1": "1x1"}[args.engine]
-    eng = IntEngine(model, plan, int_params, int_only=True, use_pallas=pallas_mode, f32_taps=args.f32_taps)
+    eng = IntEngine(
+        model, plan, int_params, int_only=True, use_pallas=pallas_mode,
+        f32_taps=args.f32_taps, border_bias=args.border_bias,
+        maxpool_impl=args.maxpool,
+    )
     x = jnp.round(
         255.0
         * jax.random.uniform(

@@ -87,6 +87,73 @@ def _conv_int(
     )
 
 
+def _s2d_eligible(spec: ConvBNSpec, x_shape) -> bool:
+    """Space-to-depth head transform: odd-k stride-2 SAME convs over tiny
+    channel counts (the C=3 stem) re-expressed as stride-1 convs over 4C
+    channels.  XLA's conv emitters are pathological at C=3 (measured
+    ~0.6 TFLOP/s on the MBv2 head); at C=12 they tile normally.  Bit-exact:
+    integer values accumulate exactly in f32 regardless of order."""
+    kh, kw = spec.kernel
+    return (
+        spec.groups == 1
+        and spec.in_ch <= 8  # stems only: at real channel counts the 4x
+        and kh >= 3          # channel expansion with 3/4-zero weights loses
+        and spec.stride == (2, 2)
+        and kh == kw
+        and kh % 2 == 1
+        and spec.padding == ((kh - 1) // 2,) * 2
+        and x_shape[1] % 2 == 0
+        and x_shape[2] % 2 == 0
+    )
+
+
+def _space_to_depth(x):
+    n, h, w, c = x.shape
+    v = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    v = v.transpose(0, 1, 3, 2, 4, 5)
+    return v.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _conv_int_s2d(x, w, spec: ConvBNSpec, exact_f32: bool):
+    """conv_k(x; stride 2, SAME zero pads) == conv_k'(s2d(x); stride 1,
+    asymmetric pads) with rearranged weights: original tap dy maps to
+    (a, ey) with ey = (dy-p) % 2, a = (dy-p-ey)/2, so input row 2y+dy-p is
+    s2d row y+a at phase ey.  k' = a_max-a_min+1 (7->4, 3->2), padding
+    (-a_min, a_max).  Weight slots with no original tap stay zero."""
+    kh = spec.kernel[0]
+    p = (kh - 1) // 2
+    c = x.shape[3]
+    o = w.shape[3]
+    a_min = (-p - ((-p) % 2)) // 2
+    a_max = (p - p % 2) // 2
+    kp = a_max - a_min + 1
+    ws = jnp.zeros((kp, kp, 4 * c, o), w.dtype)
+    for dy in range(kh):
+        ey, ay = (dy - p) % 2, (dy - p - (dy - p) % 2) // 2
+        for dx in range(kh):
+            ex, ax = (dx - p) % 2, (dx - p - (dx - p) % 2) // 2
+            ws = ws.at[
+                ay - a_min, ax - a_min, (ey * 2 + ex) * c : (ey * 2 + ex + 1) * c, :
+            ].set(w[dy, dx])
+    xs = _space_to_depth(x)
+    pad = [(-a_min, a_max), (-a_min, a_max)]
+    if exact_f32:
+        y = lax.conv_general_dilated(
+            xs.astype(jnp.bfloat16),
+            ws.astype(jnp.bfloat16),
+            (1, 1),
+            pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return y.astype(jnp.int32)
+    return lax.conv_general_dilated(
+        xs, ws, (1, 1), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
 def _conv_float(x, w, spec: ConvBNSpec):
     return lax.conv_general_dilated(
         x,
@@ -98,8 +165,43 @@ def _conv_float(x, w, spec: ConvBNSpec):
     )
 
 
-def _maxpool(x, kernel, stride, padding):
+def _maxpool(x, kernel, stride, padding, impl: str = "single"):
+    """Max pooling; all impls are value-identical (max is associative and
+    commutative, padding is the dtype's -inf):
+      'single'    one KxK reduce_window
+      'separable' Kx1 then 1xK passes (fewer max ops, one extra round trip)
+      'sliced'    elementwise max over K^2 strided slices (no reduce_window)
+    """
     init = jnp.iinfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.integer) else -jnp.inf
+    if impl == "separable":
+        y = lax.reduce_window(
+            x, jnp.asarray(init, x.dtype), lax.max,
+            (1, kernel, 1, 1), (1, stride, 1, 1),
+            [(0, 0), (padding, padding), (0, 0), (0, 0)],
+        )
+        return lax.reduce_window(
+            y, jnp.asarray(init, x.dtype), lax.max,
+            (1, 1, kernel, 1), (1, 1, stride, 1),
+            [(0, 0), (0, 0), (padding, padding), (0, 0)],
+        )
+    if impl == "sliced":
+        xp = jnp.pad(
+            x, [(0, 0), (padding, padding), (padding, padding), (0, 0)],
+            constant_values=jnp.asarray(init, x.dtype),
+        )
+        n, hp, wp, c = xp.shape
+        oh = (hp - kernel) // stride + 1
+        ow = (wp - kernel) // stride + 1
+        out = None
+        for dy in range(kernel):
+            for dx in range(kernel):
+                v = lax.slice(
+                    xp, (0, dy, dx, 0),
+                    (n, dy + (oh - 1) * stride + 1, dx + (ow - 1) * stride + 1, c),
+                    (1, stride, stride, 1),
+                )
+                out = v if out is None else jnp.maximum(out, v)
+        return out
     return lax.reduce_window(
         x,
         jnp.asarray(init, x.dtype),
@@ -142,6 +244,7 @@ class _Walker:
         int8_operands: bool = True,
         use_pallas: bool = False,
         f32_taps: int = 0,
+        border_bias: bool = False,
     ):
         self.model = model
         self.graph = model.graph
@@ -154,6 +257,11 @@ class _Walker:
         # convs whose kh*kw*(C/groups) <= f32_taps also use the f32-exact
         # path (the bound for bit-exactness is 1024: taps*128*127 < 2^24)
         self.f32_taps = min(f32_taps, 1024)
+        # zero-point handling for unsigned-input padded convs: True replaces
+        # the explicit -128 pad copy with conv-internal zero padding plus a
+        # position-dependent border-bias map (see _border_bias) -- bit-exact,
+        # saves a full HBM round trip of the activation per conv
+        self.border_bias = border_bias
 
     # -- integer path -------------------------------------------------------
 
@@ -196,6 +304,13 @@ class _Walker:
             and spec.stride[0] in (1, 2)
             and spec.padding[0] == spec.padding[1]
         )
+
+    def _dense0(self, x, w, spec, exact_f32):
+        """Dense conv with native zero padding; stride-2 tiny-C stems take
+        the bit-exact space-to-depth route (see _s2d_eligible)."""
+        if _s2d_eligible(spec, x.shape):
+            return _conv_int_s2d(x, w, spec, exact_f32)
+        return _conv_int(x, w, spec, exact_f32=exact_f32)
 
     def conv_int(self, name: str, act: IAct, pack_output_for=None) -> IAct:
         """int8 conv with int32 accumulation; optionally fuses the output
@@ -289,6 +404,23 @@ class _Walker:
 
         is_1x1 = spec.kernel == (1, 1) and spec.stride == (1, 1) and spec.padding == (0, 0) and spec.groups == 1
         if self.int8_operands:
+            if not pl.input_symmetric and self.border_bias and max(spec.padding) > 0:
+                # Zero-point border-bias: with the unsigned repack s8 = u8-128
+                # and TRUE-zero borders, acc_true = conv0pad(s8, w) +
+                # 128 * (sum of w over the taps that land in-bounds at each
+                # position).  That in-bounds weight sum is conv0pad(ones, w)
+                # -- a batch-1 conv, 1/batch of the layer cost -- giving a
+                # (1, H', W', O) bias map; the conv itself then uses XLA's
+                # internal zero padding, eliminating the explicit -128 pad
+                # (a full HBM round trip of the activation).  Bit-exact with
+                # the pad path by construction.
+                ones = jnp.ones((1,) + act.x.shape[1:], jnp.int8)
+                bmap = p["b"] + 128 * self._dense0(ones, p["w"], spec, exact_f32)
+                y = self._dense0(act.x, p["w"], spec, exact_f32) + bmap
+                out = IAct(y, pl.out_fl)
+                if pack_output_for is not None:
+                    out = self.pack_for(out, pack_output_for)
+                return out
             if not pl.input_symmetric:
                 b = p.get("b_zp")
                 if b is None:
@@ -308,7 +440,7 @@ class _Walker:
                 )
                 y = y2.reshape(n_, h_, w_, spec.out_ch) + b
             elif pl.input_symmetric:
-                y = _conv_int(act.x, p["w"], spec, exact_f32=exact_f32) + b
+                y = self._dense0(act.x, p["w"], spec, exact_f32) + b
             else:
                 y = _conv_int(
                     act.x, p["w"], spec, pad_value=-128, exact_f32=exact_f32
@@ -469,6 +601,7 @@ def _classifier_sim(w: _Walker, x):
 def int_forward(
     model, plan, int_params, x, cfg=None,
     int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
+    border_bias: bool = False, maxpool_impl: str = "single",
 ):
     """Integer-only forward.  `x` is the conditioned uint8-range input:
     round(255*image) as int32 (unnormalized pipeline, fraclen 8), or the
@@ -476,7 +609,7 @@ def int_forward(
     return _forward(
         model, plan, int_params, x, cfg,
         int_only=True, int8_operands=int8_operands, use_pallas=use_pallas,
-        f32_taps=f32_taps,
+        f32_taps=f32_taps, border_bias=border_bias, maxpool_impl=maxpool_impl,
     )
 
 
@@ -505,10 +638,12 @@ def add_zero_point_bias(model, plan, int_params):
 def _forward(
     model, plan, int_params, x, cfg, int_only: bool,
     int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
+    border_bias: bool = False, maxpool_impl: str = "single",
 ):
     cfg = cfg or model.cfg
     w = _Walker(
-        model, plan, int_params, cfg, int_only, int8_operands, use_pallas, f32_taps
+        model, plan, int_params, cfg, int_only, int8_operands, use_pallas,
+        f32_taps, border_bias,
     )
     fam = model.name
     head_pl = plan["head"]
@@ -519,7 +654,7 @@ def _forward(
             # head output feeds maxpool whose output has two consumers
             # (first conv + residual identity): stays int32
             a = w.relu_i32(w.conv_int("head", a))
-            a = IAct(_maxpool(a.x, 3, 2, 1), a.fl)
+            a = IAct(_maxpool(a.x, 3, 2, 1, impl=maxpool_impl), a.fl)
             for meta in model.blocks:
                 a = _block_resnet_int(w, meta, a)
         elif fam == "mobilenet_v1":
@@ -610,6 +745,8 @@ class IntEngine:
         int8_operands: bool = True,
         use_pallas: bool = False,
         f32_taps: int = 0,
+        border_bias: bool = False,
+        maxpool_impl: str = "single",
     ):
         self.model = model
         self.plan = plan
@@ -624,7 +761,7 @@ class IntEngine:
             self._jit = jax.jit(
                 lambda p, xx: int_forward(
                     self.model, self.plan, p, xx, self.cfg, int8_operands,
-                    use_pallas, f32_taps,
+                    use_pallas, f32_taps, border_bias, maxpool_impl,
                 )
             )
         else:

@@ -152,21 +152,180 @@ class ServingEngine:
     _offset_key = "_serving_offset"
 
     def _route(self, logits, items, valid: Optional[int] = None):
-        self.stats["batches"] += 1
-        self.stats["images"] += valid if valid is not None else logits.shape[0]
-        # route rows back to futures in arrival order
-        row = 0
-        for arr, fut in items:
-            k = arr.shape[0]
-            done_rows = getattr(fut, self._offset_key, 0)
-            take = min(k - done_rows, logits.shape[0] - row)
-            if take <= 0:
+        return _route_rows(self.stats, logits, items, valid)
+
+
+def _route_rows(stats, logits, items, valid: Optional[int] = None):
+    stats["batches"] += 1
+    stats["images"] += valid if valid is not None else logits.shape[0]
+    # route rows back to futures in arrival order
+    row = 0
+    for arr, fut in items:
+        k = arr.shape[0]
+        done_rows = getattr(fut, "_serving_offset", 0)
+        take = min(k - done_rows, logits.shape[0] - row)
+        if take <= 0:
+            continue
+        part = logits[row : row + take]
+        row += take
+        prev = getattr(fut, "_serving_parts", [])
+        prev.append(part)
+        setattr(fut, "_serving_parts", prev)
+        setattr(fut, "_serving_offset", done_rows + take)
+        if done_rows + take == k and not fut.done():
+            fut.set_result(np.concatenate(prev, axis=0))
+
+
+class CrossHostServingEngine:
+    """Cross-host continuous batching over a multi-process mesh (the
+    north-star serving story, SURVEY.md section 5).
+
+    Each process (host) runs its own ingestion queue and front-end; the model
+    executes as ONE jitted computation over a global mesh spanning every
+    host's devices, so dispatch must be collective.  The dispatcher therefore
+    runs in lockstep rounds: every `tick_ms`, each host coalesces up to
+    `global_batch / process_count` locally-ingested images, pads to that
+    static per-host shard, assembles the global batch with
+    `jax.make_array_from_process_local_data` (its shard lands on its own
+    devices -- ingestion traffic never crosses hosts), and all hosts enter
+    the same jitted call together.  Idle hosts contribute padding rows, which
+    keeps the round collective without any cross-host control traffic; the
+    only host-to-host bytes are XLA's own collectives inside the model.
+    Each host routes exactly its local shard's logits back to its futures.
+
+    Degenerates to single-host continuous batching at process_count == 1
+    (tested on the virtual 8-device mesh); the 2-process loopback test
+    drives the real multi-process lockstep (tests/test_serving_multihost.py).
+    """
+
+    def __init__(
+        self,
+        engine,
+        mesh,
+        global_batch: int = 64,
+        tick_ms: float = 5.0,
+        image_shape=None,
+        image_dtype=np.uint8,
+        name: str = "f8net-xhost-serving",
+    ):
+        nproc = jax.process_count()
+        assert global_batch % nproc == 0, (global_batch, nproc)
+        # Lockstep invariant: every process must dispatch the same sequence
+        # of collective rounds.  A host that has never seen a request cannot
+        # infer the row shape, so multi-process deployments must declare it.
+        assert nproc == 1 or image_shape is not None, (
+            "multi-process serving requires image_shape up front"
+        )
+        self.image_shape = tuple(image_shape) if image_shape is not None else None
+        self.image_dtype = image_dtype
+        self.engine = engine
+        self.mesh = mesh
+        self.global_batch = global_batch
+        self.per_host = global_batch // nproc
+        self.tick_ms = tick_ms
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True, name=name)
+        self._started = False
+        self.stats = {"batches": 0, "images": 0, "padded": 0, "idle_rounds": 0}
+
+    def start(self):
+        if not self._started:
+            self._thread.start()
+            self._started = True
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._started:
+            self._thread.join(timeout=10.0)
+
+    def submit(self, images: np.ndarray) -> Future:
+        if images.ndim == 3:
+            images = images[None]
+        assert images.shape[0] <= self.per_host, "request exceeds per-host shard"
+        if self.image_shape is not None:
+            assert tuple(images.shape[1:]) == self.image_shape, (
+                "row shape must match the declared image_shape (one compiled "
+                "executable keeps the cross-host rounds collective)"
+            )
+        fut: Future = Future()
+        self._q.put((images, fut))
+        return fut
+
+    def infer(self, images: np.ndarray, timeout: Optional[float] = 60.0):
+        return self.submit(images).result(timeout)
+
+    def _collect(self):
+        items, n = [], 0
+        deadline = time.perf_counter() + self.tick_ms / 1e3
+        while n < self.per_host:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if n + item[0].shape[0] > self.per_host:
+                # keep shapes static: defer to the next round
+                self._q.put(item)
+                break
+            items.append(item)
+            n += item[0].shape[0]
+        return items, n
+
+    def _loop(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        bsh = NamedSharding(self.mesh, P("data"))
+        shape = self.image_shape
+        dtype = self.image_dtype
+        pending = []  # (logits_dev, items, valid) one-deep pipeline
+        while not self._stop.is_set():
+            items, n = self._collect()
+            launched = []
+            if shape is None and not items:
+                # single-process mode may lazily learn the shape from the
+                # first request; skip empty rounds until then
+                self._drain(pending)
+                pending = []
                 continue
-            part = logits[row : row + take]
-            row += take
-            prev = getattr(fut, "_serving_parts", [])
-            prev.append(part)
-            setattr(fut, "_serving_parts", prev)
-            setattr(fut, self._offset_key, done_rows + take)
-            if done_rows + take == k and not fut.done():
-                fut.set_result(np.concatenate(prev, axis=0))
+            if items:
+                shape = items[0][0].shape[1:]
+                dtype = items[0][0].dtype
+            local = np.zeros((self.per_host,) + tuple(shape), dtype)
+            row = 0
+            for arr, _ in items:
+                local[row : row + arr.shape[0]] = arr
+                row += arr.shape[0]
+            self.stats["padded"] += self.per_host - n
+            if not items:
+                self.stats["idle_rounds"] += 1
+            try:
+                gx = jax.make_array_from_process_local_data(bsh, local)
+                logits = self.engine(gx)  # collective across hosts
+                launched = [(logits, items, n)] if items else []
+            except Exception as e:
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+            self._drain(pending)
+            pending = launched
+        self._drain(pending)
+
+    def _drain(self, pending):
+        for logits_dev, its, valid in pending:
+            try:
+                local = _local_rows(logits_dev)
+                _route_rows(self.stats, local, its, valid)
+            except Exception as e:
+                for _, fut in its:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+
+def _local_rows(garr) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, in batch order."""
+    shards = sorted(garr.addressable_shards, key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)

@@ -1,0 +1,64 @@
+"""Worker for the 2-process cross-host serving test.
+
+Each process ingests its own requests; the engine is one jitted sharded
+computation over the global mesh, so every inference round is a collective
+spanning both processes (lockstep dispatch with padding on idle ticks)."""
+
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    port, pid, nprocs = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    from f8net_tpu.engine.serve import CrossHostServingEngine
+    from f8net_tpu.parallel import make_mesh
+    from f8net_tpu.parallel.dist import init_dist
+
+    init_dist(f"127.0.0.1:{port}", nprocs, pid)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(data=n_dev, model=1)
+
+    def engine(gx):
+        return jax.jit(
+            lambda v: jnp.stack(
+                [jnp.sum(v, axis=(1, 2, 3)), jnp.max(v, axis=(1, 2, 3))], axis=1
+            ),
+            out_shardings=NamedSharding(mesh, P("data")),
+        )(gx)
+
+    srv = CrossHostServingEngine(
+        engine, mesh, global_batch=2 * n_dev, tick_ms=20,
+        image_shape=(4, 4, 3), image_dtype=np.float32,
+    ).start()
+
+    # each host submits its own distinctly-valued requests (value = 10*pid+i)
+    def img(v):
+        return np.full((4, 4, 3), float(v), np.float32)
+
+    futs = [srv.submit(img(10 * pid + i)) for i in range(6)]
+    outs = [f.result(60) for f in futs]
+    for i, o in enumerate(outs):
+        v = 10 * pid + i
+        assert o.shape == (1, 2), o.shape
+        np.testing.assert_allclose(o[0, 0], v * 4 * 4 * 3, rtol=1e-6)
+        np.testing.assert_allclose(o[0, 1], v, rtol=1e-6)
+    # keep ticking until the peer is done too (lockstep), then stop
+    import time
+
+    time.sleep(1.0)
+    srv.stop()
+    print(f"serving worker {pid}: ok ({srv.stats})")
+
+
+if __name__ == "__main__":
+    main()

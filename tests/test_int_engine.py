@@ -239,3 +239,16 @@ def test_engine_without_quant_avgpool():
     # agree exactly in practice
     np.testing.assert_allclose(y_int, y_sim, atol=1.0)
     assert np.mean(np.argmax(y_int, -1) == np.argmax(y_sim, -1)) == 1.0
+
+
+@pytest.mark.parametrize("name", ["resnet18", "mobilenet_v2"])
+def test_border_bias_bitexact_vs_pad(name):
+    """The zero-point border-bias path (conv-internal zero padding + the
+    position-dependent 128*conv(ones, w) correction) must be bit-equal to
+    the explicit -128 pad path on every model family."""
+    model, params, state, x = _trained_model(name, BASE)
+    plan, int_params = bake_plan(model, params, state)
+    e_pad = IntEngine(model, plan, int_params, int_only=True, border_bias=False)
+    e_bb = IntEngine(model, plan, int_params, int_only=True, border_bias=True)
+    xi = e_pad.condition_input(x)
+    np.testing.assert_array_equal(np.asarray(e_pad(xi)), np.asarray(e_bb(xi)))

@@ -101,3 +101,40 @@ def test_throughput_many_concurrent_clients():
     assert len(results) == 64
     # far fewer device batches than requests (real coalescing)
     assert srv.stats["batches"] <= 24, srv.stats
+
+
+def test_crosshost_engine_single_process_degenerate():
+    """CrossHostServingEngine at process_count == 1: per-host shard == global
+    batch; requests coalesce into sharded lockstep rounds on the virtual
+    mesh and route back exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from f8net_tpu.engine.serve import CrossHostServingEngine
+
+    mesh = make_mesh(data=8, model=1)
+    calls = {"n": 0}
+
+    def engine(gx):
+        calls["n"] += 1
+        return jax.jit(
+            lambda v: jnp.stack(
+                [jnp.sum(v, axis=(1, 2, 3)), jnp.max(v, axis=(1, 2, 3))], axis=1
+            ),
+            out_shardings=NamedSharding(mesh, P("data")),
+        )(gx)
+
+    srv = CrossHostServingEngine(engine, mesh, global_batch=8, tick_ms=40).start()
+    futs = [srv.submit(_img(i)) for i in range(8)]
+    outs = [f.result(20) for f in futs]
+    srv.stop()
+    for i, o in enumerate(outs):
+        assert o.shape == (1, 2)
+        np.testing.assert_allclose(o[0, 0], i * 8 * 8 * 3, rtol=1e-6)
+        np.testing.assert_allclose(o[0, 1], i, rtol=1e-6)
+    # multi-image request + padding round
+    srv2 = CrossHostServingEngine(engine, mesh, global_batch=8, tick_ms=5).start()
+    out = srv2.infer(np.stack([_img(3), _img(5)]))
+    srv2.stop()
+    assert out.shape == (2, 2)
+    np.testing.assert_allclose(out[:, 1], [3, 5], rtol=1e-6)
+    assert srv2.stats["padded"] >= 6
