@@ -54,6 +54,10 @@ def main():
     ap.add_argument(
         "--maxpool", choices=["single", "separable", "sliced"], default="single"
     )
+    ap.add_argument(
+        "--stem", action="store_true", default=False,
+        help="fused Pallas stem kernel (conv+bias+relu+maxpool in one pass)",
+    )
     args = ap.parse_args()
 
     from f8net_tpu.engine import IntEngine
@@ -80,7 +84,7 @@ def main():
     eng = IntEngine(
         model, plan, int_params, int_only=True, use_pallas=pallas_mode,
         f32_taps=args.f32_taps, border_bias=args.border_bias,
-        maxpool_impl=args.maxpool,
+        maxpool_impl=args.maxpool, stem_kernel=args.stem,
     )
     x = jnp.round(
         255.0

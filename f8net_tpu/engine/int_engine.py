@@ -602,6 +602,7 @@ def int_forward(
     model, plan, int_params, x, cfg=None,
     int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
     border_bias: bool = False, maxpool_impl: str = "single",
+    stem_kernel: bool = False,
 ):
     """Integer-only forward.  `x` is the conditioned uint8-range input:
     round(255*image) as int32 (unnormalized pipeline, fraclen 8), or the
@@ -610,6 +611,7 @@ def int_forward(
         model, plan, int_params, x, cfg,
         int_only=True, int8_operands=int8_operands, use_pallas=use_pallas,
         f32_taps=f32_taps, border_bias=border_bias, maxpool_impl=maxpool_impl,
+        stem_kernel=stem_kernel,
     )
 
 
@@ -639,6 +641,7 @@ def _forward(
     model, plan, int_params, x, cfg, int_only: bool,
     int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
     border_bias: bool = False, maxpool_impl: str = "single",
+    stem_kernel: bool = False,
 ):
     cfg = cfg or model.cfg
     w = _Walker(
@@ -653,8 +656,41 @@ def _forward(
         if fam.startswith("resnet"):
             # head output feeds maxpool whose output has two consumers
             # (first conv + residual identity): stays int32
-            a = w.relu_i32(w.conv_int("head", a))
-            a = IAct(_maxpool(a.x, 3, 2, 1, impl=maxpool_impl), a.fl)
+            hspec = model.graph["head"]
+            if (
+                stem_kernel
+                and int8_operands
+                and hspec.kernel == (7, 7)
+                and hspec.stride == (2, 2)
+                and hspec.padding == (3, 3)
+                and hspec.in_ch == 3
+                and hspec.groups == 1
+                and x.shape[1] % 8 == 0
+                and x.shape[1] == x.shape[2]
+            ):
+                # fused Pallas stem: conv+bias+relu+maxpool in one pass,
+                # writing only the pooled int32 activation
+                # (ops/pallas_stem.py); mirror pack_for's wire requant
+                from ..ops.pallas_stem import build_stem_inputs, stem_pool_int8
+
+                v = shift_requant(
+                    x.astype(jnp.int32), 8, head_pl.input_fl, a.fl,
+                    head_pl.input_symmetric,
+                )
+                v8 = v.astype(
+                    jnp.int8 if head_pl.input_symmetric else jnp.uint8
+                )
+                be, bo, w192 = build_stem_inputs(
+                    v8, int_params["head"]["w"], conv_h=x.shape[1] // 2
+                )
+                pooled = stem_pool_int8(
+                    be, bo, w192, int_params["head"]["b"],
+                    conv_h=x.shape[1] // 2, valid_w=x.shape[1] // 4,
+                )
+                a = IAct(pooled, head_pl.out_fl)
+            else:
+                a = w.relu_i32(w.conv_int("head", a))
+                a = IAct(_maxpool(a.x, 3, 2, 1, impl=maxpool_impl), a.fl)
             for meta in model.blocks:
                 a = _block_resnet_int(w, meta, a)
         elif fam == "mobilenet_v1":
@@ -747,6 +783,7 @@ class IntEngine:
         f32_taps: int = 0,
         border_bias: bool = False,
         maxpool_impl: str = "single",
+        stem_kernel: bool = False,
     ):
         self.model = model
         self.plan = plan
@@ -762,6 +799,7 @@ class IntEngine:
                 lambda p, xx: int_forward(
                     self.model, self.plan, p, xx, self.cfg, int8_operands,
                     use_pallas, f32_taps, border_bias, maxpool_impl,
+                    stem_kernel,
                 )
             )
         else:
