@@ -58,6 +58,10 @@ def main():
         "--stem", action="store_true", default=False,
         help="fused Pallas stem kernel (conv+bias+relu+maxpool in one pass)",
     )
+    ap.add_argument(
+        "--s2d", action="store_true", default=False,
+        help="space-to-depth stem conv (XLA, explicit pads)",
+    )
     args = ap.parse_args()
 
     from f8net_tpu.engine import IntEngine
@@ -84,7 +88,7 @@ def main():
     eng = IntEngine(
         model, plan, int_params, int_only=True, use_pallas=pallas_mode,
         f32_taps=args.f32_taps, border_bias=args.border_bias,
-        maxpool_impl=args.maxpool, stem_kernel=args.stem,
+        maxpool_impl=args.maxpool, stem_kernel=args.stem, stem_s2d=args.s2d,
     )
     x = jnp.round(
         255.0

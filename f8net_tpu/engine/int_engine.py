@@ -154,6 +154,51 @@ def _conv_int_s2d(x, w, spec: ConvBNSpec, exact_f32: bool):
     )
 
 
+def _conv_int_s2d_pad(x, w, spec: ConvBNSpec, exact_f32: bool, pad_value: int):
+    """Space-to-depth stem conv with EXPLICIT padding (supports the -128
+    zero-point pad, so the standard colsum compensation stays valid).
+
+    Pad (p, p+2) per spatial dim makes the padded extent even; in padded
+    coords out(x) reads cols 2x+dx, so tap dx maps to (a, e) = (dx//2,
+    dx%2) -- a VALID conv with kernel (k+1)//2 over 4C channels whose
+    output's leading H/2 x W/2 block is exactly the original conv."""
+    kh = spec.kernel[0]
+    p = (kh - 1) // 2
+    n, h, wd, c = x.shape
+    o = w.shape[3]
+    xp = jnp.pad(
+        x,
+        [(0, 0), (p, p + 2), (p, p + 2), (0, 0)],
+        constant_values=x.dtype.type(pad_value),
+    )
+    kp = (kh + 1) // 2
+    ws = jnp.zeros((kp, kp, 4 * c, o), w.dtype)
+    for dy in range(kh):
+        ey, ay = dy % 2, dy // 2
+        for dx in range(kh):
+            ex, ax = dx % 2, dx // 2
+            ws = ws.at[
+                ay, ax, (ey * 2 + ex) * c : (ey * 2 + ex + 1) * c, :
+            ].set(w[dy, dx])
+    xs = _space_to_depth(xp)
+    if exact_f32:
+        y = lax.conv_general_dilated(
+            xs.astype(jnp.bfloat16),
+            ws.astype(jnp.bfloat16),
+            (1, 1),
+            "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+    else:
+        y = lax.conv_general_dilated(
+            xs, ws, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+    return y[:, : h // 2, : wd // 2, :]
+
+
 def _conv_float(x, w, spec: ConvBNSpec):
     return lax.conv_general_dilated(
         x,
@@ -245,6 +290,7 @@ class _Walker:
         use_pallas: bool = False,
         f32_taps: int = 0,
         border_bias: bool = False,
+        stem_s2d: bool = False,
     ):
         self.model = model
         self.graph = model.graph
@@ -262,6 +308,7 @@ class _Walker:
         # position-dependent border-bias map (see _border_bias) -- bit-exact,
         # saves a full HBM round trip of the activation per conv
         self.border_bias = border_bias
+        self.stem_s2d = stem_s2d
 
     # -- integer path -------------------------------------------------------
 
@@ -333,6 +380,38 @@ class _Walker:
         kh, kw = spec.kernel
         taps = kh * kw * (spec.in_ch // spec.groups)
         exact_f32 = spec.is_depthwise or spec.in_ch <= 8 or taps <= self.f32_taps
+
+        if (
+            self.stem_s2d
+            and self.int8_operands
+            and spec.groups == 1
+            and spec.in_ch <= 8
+            and kh == kw
+            and kh % 2 == 1
+            and kh >= 3
+            and spec.stride == (2, 2)
+            and spec.padding == ((kh - 1) // 2,) * 2
+            and act.x.shape[1] % 2 == 0
+            and act.x.shape[2] % 2 == 0
+        ):
+            # tiny-C stride-2 stem: space-to-depth with explicit pads (the
+            # C=3 conv runs ~0.6 TFLOP/s through XLA's emitters; at 4C=12 it
+            # tiles normally).  Explicit -128 pads keep the plain colsum
+            # zero-point compensation valid.
+            if pl.input_symmetric:
+                b, pv = p["b"], 0
+            else:
+                b = p.get("b_zp")
+                if b is None:
+                    b = p["b"] + 128 * jnp.sum(
+                        p["w"].astype(jnp.int32), axis=(0, 1, 2)
+                    )
+                pv = -128
+            y = _conv_int_s2d_pad(act.x, p["w"], spec, exact_f32, pv) + b
+            out = IAct(y, pl.out_fl)
+            if pack_output_for is not None:
+                out = self.pack_for(out, pack_output_for)
+            return out
 
         if self._pallas_eligible(spec):
             if pl.input_symmetric:
@@ -602,7 +681,7 @@ def int_forward(
     model, plan, int_params, x, cfg=None,
     int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
     border_bias: bool = False, maxpool_impl: str = "single",
-    stem_kernel: bool = False,
+    stem_kernel: bool = False, stem_s2d: bool = False,
 ):
     """Integer-only forward.  `x` is the conditioned uint8-range input:
     round(255*image) as int32 (unnormalized pipeline, fraclen 8), or the
@@ -611,7 +690,7 @@ def int_forward(
         model, plan, int_params, x, cfg,
         int_only=True, int8_operands=int8_operands, use_pallas=use_pallas,
         f32_taps=f32_taps, border_bias=border_bias, maxpool_impl=maxpool_impl,
-        stem_kernel=stem_kernel,
+        stem_kernel=stem_kernel, stem_s2d=stem_s2d,
     )
 
 
@@ -641,12 +720,12 @@ def _forward(
     model, plan, int_params, x, cfg, int_only: bool,
     int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
     border_bias: bool = False, maxpool_impl: str = "single",
-    stem_kernel: bool = False,
+    stem_kernel: bool = False, stem_s2d: bool = False,
 ):
     cfg = cfg or model.cfg
     w = _Walker(
         model, plan, int_params, cfg, int_only, int8_operands, use_pallas,
-        f32_taps, border_bias,
+        f32_taps, border_bias, stem_s2d=stem_s2d,
     )
     fam = model.name
     head_pl = plan["head"]
@@ -677,14 +756,14 @@ def _forward(
                     x.astype(jnp.int32), 8, head_pl.input_fl, a.fl,
                     head_pl.input_symmetric,
                 )
-                v8 = v.astype(
-                    jnp.int8 if head_pl.input_symmetric else jnp.uint8
-                )
-                be, bo, w192 = build_stem_inputs(
-                    v8, int_params["head"]["w"], conv_h=x.shape[1] // 2
+                zp = 0 if head_pl.input_symmetric else 128
+                v8 = (v - zp).astype(jnp.int8)
+                be, bo, w192, comp = build_stem_inputs(
+                    v8, int_params["head"]["w"], conv_h=x.shape[1] // 2,
+                    zero_point=zp,
                 )
                 pooled = stem_pool_int8(
-                    be, bo, w192, int_params["head"]["b"],
+                    be, bo, w192, int_params["head"]["b"] + comp,
                     conv_h=x.shape[1] // 2, valid_w=x.shape[1] // 4,
                 )
                 a = IAct(pooled, head_pl.out_fl)
@@ -784,6 +863,7 @@ class IntEngine:
         border_bias: bool = False,
         maxpool_impl: str = "single",
         stem_kernel: bool = False,
+        stem_s2d: bool = False,
     ):
         self.model = model
         self.plan = plan
@@ -799,7 +879,7 @@ class IntEngine:
                 lambda p, xx: int_forward(
                     self.model, self.plan, p, xx, self.cfg, int8_operands,
                     use_pallas, f32_taps, border_bias, maxpool_impl,
-                    stem_kernel,
+                    stem_kernel, stem_s2d,
                 )
             )
         else:

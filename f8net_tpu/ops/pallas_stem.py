@@ -40,8 +40,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 def _pick_p(out_h: int) -> int:
-    """Pooled rows per grid step: largest divisor of out_h <= 32 (VMEM cap)."""
-    for cand in range(min(out_h, 32), 0, -1):
+    """Pooled rows per grid step: largest divisor of out_h <= 16.  The cap is
+    a VMEM budget: p=28 put the patch scratch + two phase accumulators at
+    18.7 MB, past the 16 MB scoped-vmem limit; p=14 fits comfortably."""
+    for cand in range(min(out_h, 16), 0, -1):
         if out_h % cand == 0:
             return cand
     return 1
@@ -51,7 +53,8 @@ WP = 64  # patch width per phase: >= valid_w + 1, multiple of 16 (bf16 tiles)
 
 
 def _stem_kernel(
-    be_ref, be1_ref, bo_ref, bo1_ref, w_ref, b_ref, o_ref, *, p: int, valid_w: int
+    be_ref, be1_ref, bo_ref, bo1_ref, w_ref, b_ref, o_ref, patch_ref,
+    *, p: int, valid_w: int
 ):
     R = 2 * p + 1  # conv rows per block (incl. the pool's -1/top edge row)
     band_e = jnp.concatenate([be_ref[0], be1_ref[0]], axis=0)[: R + 3]
@@ -63,17 +66,18 @@ def _stem_kernel(
 
     def conv_phase(p0, p1, p2, p3):
         """patch slots [p_{k-1}, q_{k-1}, p_k, q_k]-style: the four
-        (band, col-offset) streams in x-tap order; returns (R, WP, 64)."""
-        pieces = []
+        (band, col-offset) streams in x-tap order; returns (R, WP, 64).
+        Pieces are assembled through the VMEM scratch: Mosaic's concat
+        requires equal sublane offsets across pieces, which the 0/1/2
+        column shifts violate -- ref stores re-normalize the layout."""
+        idx = 0
         for a in range(4):  # y-taps: band rows a..a+R
             for src, off in (p0, p1, p2, p3):
-                pieces.append(
-                    jax.lax.slice(
-                        src, (a, off, 0), (a + R, off + WP, 12)
-                    ).astype(jnp.bfloat16)
-                )
-        patch = jnp.concatenate(pieces, axis=2)  # (R, WP, 192)
-        m = patch.reshape(R * WP, 192)
+                patch_ref[:, :, idx * 12 : (idx + 1) * 12] = jax.lax.slice(
+                    src, (a, off, 0), (a + R, off + WP, 12)
+                ).astype(jnp.bfloat16)
+                idx += 1
+        m = patch_ref[:].reshape(R * WP, 192)
         acc = jax.lax.dot_general(
             m, w,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -106,14 +110,22 @@ def _stem_kernel(
     )
     px3 = jnp.maximum(jnp.maximum(ce, co), co_prev)  # (R, valid_w, 64)
 
-    # y-pool: pooled row qr = max over local conv rows 2qr, 2qr+1, 2qr+2
-    out = None
-    for dy in range(3):
-        v = jax.lax.slice(
-            px3, (dy, 0, 0), (dy + 2 * (p - 1) + 1, valid_w, o_ch), (2, 1, 1)
-        )
-        out = v if out is None else jnp.maximum(out, v)
-    o_ref[0] = out
+    # y-pool: pooled row qr = max over local conv rows 2qr, 2qr+1, 2qr+2.
+    # Mosaic has no stride-2 vector slices, so split even/odd rows with a
+    # major-dim reshape instead.
+    body = jax.lax.slice(px3, (0, 0, 0), (2 * p, valid_w, o_ch))
+    r4 = body.reshape(p, 2, valid_w, o_ch)
+    ev = jax.lax.slice(r4, (0, 0, 0, 0), (p, 1, valid_w, o_ch)).reshape(
+        p, valid_w, o_ch
+    )
+    od = jax.lax.slice(r4, (0, 1, 0, 0), (p, 2, valid_w, o_ch)).reshape(
+        p, valid_w, o_ch
+    )
+    last = jax.lax.slice(px3, (2 * p, 0, 0), (2 * p + 1, valid_w, o_ch))
+    ev_next = jnp.concatenate(
+        [jax.lax.slice(ev, (1, 0, 0), (p, valid_w, o_ch)), last], axis=0
+    )
+    o_ref[0] = jnp.maximum(jnp.maximum(ev, od), ev_next)
 
 
 @functools.partial(
@@ -149,6 +161,7 @@ def stem_pool_int8(
     nblocks_needed = blocks + 1
     rows_needed = nblocks_needed * 2 * p
     if rows < rows_needed:
+        # tail rows feed only pad-masked conv rows; any value works
         pad = rows_needed - rows
         band_e = jnp.pad(band_e, ((0, 0), (0, pad), (0, 0), (0, 0)))
         band_o = jnp.pad(band_o, ((0, 0), (0, pad), (0, 0), (0, 0)))
@@ -156,6 +169,7 @@ def stem_pool_int8(
     num_rblocks = rows // (2 * p)
 
     kernel = functools.partial(_stem_kernel, p=p, valid_w=valid_w)
+    R = 2 * p + 1
     block = (1, 2 * p, cols, 12)
     m0 = lambda i, j: (i, j, 0, 0)
     m1 = lambda i, j, _nb=num_rblocks: (i, jnp.minimum(j + 1, _nb - 1), 0, 0)
@@ -174,6 +188,7 @@ def stem_pool_int8(
         out_specs=pl.BlockSpec(
             (1, p, valid_w, o_ch), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[pltpu.VMEM((R, WP, 192), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
@@ -186,30 +201,39 @@ def stem_pool_int8(
     )(band_e, band_e, band_o, band_o, w192, bias.reshape(1, o_ch))
 
 
-def build_stem_inputs(v8, w, conv_h: int = 112, col_tile: int = 16):
+def build_stem_inputs(v8, w, conv_h: int = 112, col_tile: int = 16,
+                      zero_point: int = 0):
     """XLA pre-pass: packed 8-bit head input (N, 2*conv_h, 2*conv_h, 3)
-    int8 -> phase bands + reshaped weights for stem_pool_int8.
+    int8 -> phase bands + reshaped weights + bias compensation.
 
-    v8 holds the head's quantized input values (u8' stored in int16-safe
-    int8 range after the wire requant -- any integer in [-128, 127]; for
-    the unsigned pipeline the caller passes u8' - 128 ... no zero-point is
-    needed because the kernel multiplies VALUES in bf16, not repacked s8).
-    w: (7, 7, 3, 64) int8.
+    v8: int8.  For the unsigned pipeline pass s8 = u8' - 128 with
+    zero_point=128: pads are stored as -zero_point (a true u8' zero), and
+    because the bands explicitly materialize EVERY position the kernel
+    reads, the compensation acc_true = acc_s8 + zp * colsum(w192) is a
+    constant vector -- returned as `comp`, to be added to the conv bias.
+    (Mosaic has no u8->bf16 cast, hence the signed representation.)
+    w: (7, 7, 3, O) int8.  Returns (band_e, band_o, w192, comp).
     """
     n, h, wdt, c = v8.shape
     assert (h, wdt, c) == (2 * conv_h, 2 * conv_h, 3)
+    assert v8.dtype == jnp.int8, v8.dtype
+    pad_v = jnp.int8(-zero_point)
     # space-to-depth (N, conv_h, conv_h, 12)
     s = v8.reshape(n, conv_h, 2, conv_h, 2, 3).transpose(0, 1, 3, 2, 4, 5)
     s = s.reshape(n, conv_h, conv_h, 12)
     # rows: band row s = s2d row s-3 (2 s2d top pads + 1 pool edge row)
-    s = jnp.pad(s, ((0, 0), (3, 1), (0, 0), (0, 0)))
+    s = jnp.pad(s, ((0, 0), (3, 1), (0, 0), (0, 0)), constant_values=pad_v)
     # column phases with one lead column; pad cols to a tile multiple
     half = conv_h // 2
     cols = -(-(WP + 2) // col_tile) * col_tile  # pieces need offsets 0..2 + WP
     pe = s[:, :, 0::2, :]
     po = s[:, :, 1::2, :]
-    band_e = jnp.pad(pe, ((0, 0), (0, 0), (1, cols - half - 1), (0, 0)))
-    band_o = jnp.pad(po, ((0, 0), (0, 0), (1, cols - half - 1), (0, 0)))
+    band_e = jnp.pad(
+        pe, ((0, 0), (0, 0), (1, cols - half - 1), (0, 0)), constant_values=pad_v
+    )
+    band_o = jnp.pad(
+        po, ((0, 0), (0, 0), (1, cols - half - 1), (0, 0)), constant_values=pad_v
+    )
 
     # weights: s2d rearrangement (engine _conv_int_s2d, k=7 -> 4x4x12),
     # then row-major (a, slot, cc) flatten to (192, O); jnp ops so the
@@ -225,4 +249,5 @@ def build_stem_inputs(v8, w, conv_h: int = 112, col_tile: int = 16):
                 ay + 2, ax + 2, (ey * 2 + ex) * 3 : (ey * 2 + ex) * 3 + 3, :
             ].set(w[dy, dx])
     w192 = ws.reshape(192, o_ch)
-    return band_e, band_o, w192
+    comp = zero_point * jnp.sum(w192.astype(jnp.int32), axis=0)
+    return band_e, band_o, w192, comp

@@ -32,16 +32,23 @@ def _ref_stem(v8, w, bias):
 def test_stem_pool_bitexact(size, unsigned):
     rng = np.random.RandomState(size)
     if unsigned:
-        x = jnp.asarray(rng.randint(0, 256, (2, size, size, 3)), jnp.uint8)
+        u8 = rng.randint(0, 256, (2, size, size, 3))
+        x8 = jnp.asarray(u8 - 128, jnp.int8)
+        zp = 128
+        xv = jnp.asarray(u8, jnp.int32)
     else:
-        x = jnp.asarray(rng.randint(-127, 128, (2, size, size, 3)), jnp.int8)
+        x8 = jnp.asarray(rng.randint(-127, 128, (2, size, size, 3)), jnp.int8)
+        zp = 0
+        xv = x8.astype(jnp.int32)
     w = jnp.asarray(rng.randint(-15, 16, (7, 7, 3, 64)), jnp.int8)
     bias = jnp.asarray(rng.randint(-(1 << 14), 1 << 14, (64,)), jnp.int32)
 
-    ref = _ref_stem(x, w, bias)
+    ref = _ref_stem(xv, w, bias)
 
-    be, bo, w192 = build_stem_inputs(x, w, conv_h=size // 2)
-    got = stem_pool_int8(be, bo, w192, bias, conv_h=size // 2, valid_w=size // 4)
+    be, bo, w192, comp = build_stem_inputs(x8, w, conv_h=size // 2, zero_point=zp)
+    got = stem_pool_int8(
+        be, bo, w192, bias + comp, conv_h=size // 2, valid_w=size // 4
+    )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
@@ -77,9 +84,11 @@ def test_stem_matches_engine_head_pipeline():
         (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)],
     )
 
-    # kernel path on the raw u8' values, no zero-point anywhere
-    be, bo, w192 = build_stem_inputs(u8p.astype(jnp.uint8), w, conv_h=56)
-    got = stem_pool_int8(be, bo, w192, bias, conv_h=56, valid_w=28)
+    # kernel path: s8 bands with explicit -128 pads + constant compensation
+    be, bo, w192, comp = build_stem_inputs(
+        (u8p - 128).astype(jnp.int8), w, conv_h=56, zero_point=128
+    )
+    got = stem_pool_int8(be, bo, w192, bias + comp, conv_h=56, valid_w=28)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
@@ -113,4 +122,34 @@ def test_engine_stem_kernel_bitexact():
         np.testing.assert_array_equal(
             np.asarray(e0(xi)), np.asarray(e1(e1.condition_input(x))),
             err_msg=f"normalize={normalize}",
+        )
+
+
+def test_engine_stem_s2d_bitexact():
+    """stem_s2d (XLA space-to-depth stem with explicit pads) bit-equal to
+    the default engine on all three model families."""
+    import jax
+    from f8net_tpu.engine import IntEngine
+    from f8net_tpu.models import get_model
+    from f8net_tpu.quant import bake_plan
+    from f8net_tpu.utils import QuantConfig
+
+    cfg = QuantConfig(
+        format_from_metric=True, metric="std", quant_bias=True,
+        quant_avgpool=True, pool_fusing=True,
+    )
+    for name in ("resnet18", "mobilenet_v1", "mobilenet_v2"):
+        model = get_model(name, cfg, num_classes=10, image_size=64)
+        params, state = model.init(jax.random.PRNGKey(0))
+        x = jnp.round(
+            255 * jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+        ) / 256
+        for _ in range(2):
+            _, state = model.apply(params, state, x, mode="train")
+        plan, ip = bake_plan(model, params, state)
+        e0 = IntEngine(model, plan, ip, int_only=True)
+        e1 = IntEngine(model, plan, ip, int_only=True, stem_s2d=True)
+        xi = e0.condition_input(x)
+        np.testing.assert_array_equal(
+            np.asarray(e0(xi)), np.asarray(e1(xi)), err_msg=name
         )
