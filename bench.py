@@ -36,6 +36,22 @@ def _time_fn(fn, *args, iters=10, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
+def _time_pair(fn_a, args_a, fn_b, args_b, rounds=4, iters=5):
+    """Interleaved A/B timing: the relay's throughput drifts several percent
+    within a session, so a/b are measured in alternating rounds and the
+    ratio is the median of per-round ratios (drift cancels per round)."""
+    for f, a in ((fn_a, args_a), (fn_b, args_b)):
+        jax.block_until_ready(f(*a))
+        jax.block_until_ready(f(*a))
+    ts_a, ts_b = [], []
+    for _ in range(rounds):
+        ts_a.append(_time_fn(fn_a, *args_a, iters=iters, warmup=1))
+        ts_b.append(_time_fn(fn_b, *args_b, iters=iters, warmup=1))
+    med = lambda v: sorted(v)[len(v) // 2]
+    ratios = sorted(tb / ta for ta, tb in zip(ts_a, ts_b))
+    return med(ts_a), med(ts_b), ratios[len(ratios) // 2]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="resnet18")
@@ -97,13 +113,14 @@ def main():
         )
     ).astype(jnp.int32)
 
-    t_int = _time_fn(eng, x, iters=args.iters)
-    ips_int = args.batch / t_int
-
     fparams = plain_params(model, int_params)
     bf16 = jax.jit(lambda p, v: plain_forward(model, p, v))
     xb = (x.astype(jnp.float32) / 256.0).astype(jnp.bfloat16)
-    t_bf16 = _time_fn(bf16, fparams, xb, iters=args.iters)
+
+    t_int, t_bf16, ratio = _time_pair(
+        eng, (x,), bf16, (fparams, xb), iters=max(args.iters // 2, 3)
+    )
+    ips_int = args.batch / t_int
     ips_bf16 = args.batch / t_bf16
 
     print(
@@ -112,7 +129,7 @@ def main():
                 "metric": f"{args.model}_int8_{args.engine}_images_per_sec_1chip_{platform}",
                 "value": round(ips_int, 1),
                 "unit": "images/s",
-                "vs_baseline": round(ips_int / ips_bf16, 3),
+                "vs_baseline": round(ratio, 3),
             }
         )
     )
