@@ -59,7 +59,7 @@ def main():
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument(
-        "--engine", choices=["xla", "pallas", "pallas1x1"], default="xla"
+        "--engine", choices=["xla", "pallas", "pallas1x1", "pallasdw"], default="xla"
     )
     ap.add_argument("--f32-taps", type=int, default=0)
     ap.add_argument(
@@ -100,7 +100,9 @@ def main():
     params, state = model.init(jax.random.PRNGKey(0))
     plan, int_params = bake_plan(model, params, state)
 
-    pallas_mode = {"xla": False, "pallas": "all", "pallas1x1": "1x1"}[args.engine]
+    pallas_mode = {
+        "xla": False, "pallas": "all", "pallas1x1": "1x1", "pallasdw": "dw",
+    }[args.engine]
     eng = IntEngine(
         model, plan, int_params, int_only=True, use_pallas=pallas_mode,
         f32_taps=args.f32_taps, border_bias=args.border_bias,

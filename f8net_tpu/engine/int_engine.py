@@ -20,6 +20,8 @@ and requant amounts are Python ints resolved at trace time.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -332,11 +334,15 @@ class _Walker:
 
     def _pallas_eligible(self, spec) -> bool:
         """use_pallas modes: False/'' off; 'all' routes every dense conv
-        through the Pallas kernels; '1x1' routes only the 1x1 stride-1 GEMM
+        through the Pallas kernels (and depthwise through the VPU kernel,
+        see conv_int); 'dw' routes ONLY depthwise convs to the VPU kernel
+        and keeps dense convs on XLA; '1x1' routes only the 1x1 stride-1 GEMM
         convs (the shapes where the big-M Pallas GEMM measures faster than
         XLA's s32 conv: 219 vs 84 TOP/s at K=128, 203 vs 177 at K=576 --
         results/r2_gemm_probe.jsonl) and keeps KxK convs on XLA."""
         if not self.use_pallas or not self.int8_operands:
+            return False
+        if self.use_pallas == "dw":  # depthwise-only mode: dense stays XLA
             return False
         if spec.groups != 1 or spec.in_ch < 16:
             return False
@@ -380,6 +386,54 @@ class _Walker:
         kh, kw = spec.kernel
         taps = kh * kw * (spec.in_ch // spec.groups)
         exact_f32 = spec.is_depthwise or spec.in_ch <= 8 or taps <= self.f32_taps
+
+        if (
+            spec.is_depthwise
+            and self.int8_operands
+            and self.use_pallas in (True, "all", "dw")
+            and kh == kw
+            # stride-1 only: Mosaic rejects strided vector extracts
+            # (vector.extract_strided_slice strides must be 1), so stride-2
+            # depthwise stays on the XLA exact-f32 path
+            and spec.stride == (1, 1)
+            and spec.padding[0] == spec.padding[1]
+        ):
+            # VPU depthwise kernel: int8 in/out, fused bias + requant
+            # (ops/pallas_dw.py) -- the whole layer stays at 1 byte/element
+            import os as _os
+
+            from ..ops.pallas_dw import pallas_depthwise_int8
+
+            _dw_compute = _os.environ.get("F8NET_PALLAS_DW_COMPUTE", "i32")
+            pallas_depthwise_int8 = functools.partial(  # noqa: F811
+                pallas_depthwise_int8, compute=_dw_compute
+            )
+
+            if pl.input_symmetric:
+                b, pad_value = p["b"], 0
+            else:
+                b = p.get("b_zp")
+                if b is None:
+                    b = p["b"] + 128 * jnp.sum(
+                        p["w"].astype(jnp.int32), axis=(0, 1, 2)
+                    )
+                pad_value = -128
+            if pack_output_for is not None:
+                cons = self.plan[pack_output_for]
+                y8 = pallas_depthwise_int8(
+                    act.x, p["w"], b,
+                    stride=spec.stride[0], padding=spec.padding[0],
+                    pad_value=pad_value, epilogue="requant8",
+                    net=pl.out_fl - cons.input_fl,
+                    out_signed=cons.input_symmetric,
+                )
+                return IAct(y8, cons.input_fl, packed_for=pack_output_for)
+            y = pallas_depthwise_int8(
+                act.x, p["w"], b,
+                stride=spec.stride[0], padding=spec.padding[0],
+                pad_value=pad_value, epilogue="int32",
+            )
+            return IAct(y, pl.out_fl)
 
         if (
             self.stem_s2d

@@ -33,17 +33,37 @@ class ServingEngine:
         batch_size: int = 64,
         max_wait_ms: float = 5.0,
         mesh=None,
+        buckets=None,
         name: str = "f8net-serving",
     ):
+        """buckets: optional ascending batch-size buckets, e.g. (8, 16, 64).
+        The dispatcher pads a tail batch only up to the smallest bucket that
+        holds it, so low load runs a small compiled executable (less padding
+        waste, lower latency) instead of always paying the full batch.  Each
+        bucket is one more compiled program; the largest bucket is the
+        device batch size."""
         self.engine = engine
+        if buckets:
+            buckets = tuple(sorted(set(int(b) for b in buckets)))
+            assert batch_size == 64 or batch_size == buckets[-1], (
+                "pass the batch via buckets (largest bucket) or keep them equal"
+            )
+            batch_size = buckets[-1]
+        self.buckets = buckets or (batch_size,)
         self.batch_size = batch_size
+        if mesh is not None:
+            d = dict(mesh.shape)["data"]
+            assert all(b % d == 0 for b in self.buckets), (
+                "every bucket must shard evenly over the mesh data axis",
+                self.buckets, d,
+            )
         self.max_wait_ms = max_wait_ms
         self.mesh = mesh
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True, name=name)
         self._started = False
-        self.stats = {"batches": 0, "images": 0, "padded": 0}
+        self.stats = {"batches": 0, "images": 0, "padded": 0, "bucket_hits": {}}
 
     # -- public API ---------------------------------------------------------
 
@@ -135,9 +155,13 @@ class ServingEngine:
             head, batch = batch[: self.batch_size], batch[self.batch_size :]
             n = batch.shape[0]
             out.append((self._run(head), items, None))
-        pad = self.batch_size - n
+        # pad the tail only to the smallest bucket that holds it: low load
+        # dispatches a small compiled program instead of the full batch
+        bucket = next(b for b in self.buckets if b >= n)
+        pad = bucket - n
         padded = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)]) if pad else batch
         self.stats["padded"] += pad
+        self.stats["bucket_hits"][bucket] = self.stats["bucket_hits"].get(bucket, 0) + 1
         out.append((self._run(padded), items, n))
         return out
 

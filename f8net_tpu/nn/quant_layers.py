@@ -22,6 +22,7 @@ Layouts are TPU-native: activations NHWC, conv weights HWIO, linear weights
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, NamedTuple, Optional
 
@@ -251,6 +252,45 @@ def _conv2d(x, w, spec: ConvBNSpec):
     )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv2d_bf16(x, w, spec: ConvBNSpec):
+    """f32-equivalent training conv with bf16 operands (one MXU pass instead
+    of XLA's multi-pass f32 conv decomposition; bf16 runs at the chip's full
+    matmul rate, docs/BENCHMARKS.md).
+
+    Exact when both operands lie on <= 8-bit quantization grids: values are
+    k * 2^-fl with |k| <= 255, and bf16's 8-bit significand holds those
+    integers exactly, so the f32 accumulation matches the f32 conv up to
+    reduction order (the same class of noise QAT already carries).  The stat
+    conv's raw weights are NOT on a grid -- they round at ~2^-9 relative,
+    perturbing only the BN statistics (opt-in via cfg.train_conv_bf16).
+    Backward runs in f32: cotangents are arbitrary floats."""
+    return lax.conv_general_dilated(
+        x.astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        window_strides=spec.stride,
+        padding=[(spec.padding[0],) * 2, (spec.padding[1],) * 2],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=spec.groups,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _conv2d_bf16_fwd(x, w, spec):
+    return _conv2d_bf16(x, w, spec), (x, w)
+
+
+def _conv2d_bf16_bwd(spec, res, g):
+    # f32 backward convs; the f32 forward below is dead code under jit (the
+    # VJP of a bilinear op needs only the residual operands), so XLA DCEs it
+    x, w = res
+    _, vjp = jax.vjp(lambda a, b: _conv2d(a, b, spec), x, w)
+    return vjp(g)
+
+
+_conv2d_bf16.defvjp(_conv2d_bf16_fwd, _conv2d_bf16_bwd)
+
+
 def _weight_metric_axes(cfg):
     # HWIO: per-channel statistics are per output channel (all but axis 3)
     return (0, 1, 2) if cfg.format_type == "per_channel" else (0, 1, 2, 3)
@@ -340,11 +380,12 @@ def conv_bn_apply(
     w = _conv_weight_rescale(cfg, spec, p["w"]) * spec.avgpool_scale
 
     # --- BatchNorm statistics -------------------------------------------------
+    conv = _conv2d_bf16 if (training and cfg.train_conv_bf16) else _conv2d
     if training:
         if cfg.floating_wo_clip:
-            y0 = _conv2d(x_val, w, spec)
+            y0 = conv(x_val, w, spec)
         else:
-            y0 = _conv2d(fs_self * x_val, w, spec)
+            y0 = conv(fs_self * x_val, w, spec)
         bn_mean = jnp.mean(y0, (0, 1, 2))
         var_b = jnp.var(y0, (0, 1, 2))
         bn_std = jnp.sqrt(var_b + eps)
@@ -417,7 +458,7 @@ def conv_bn_apply(
         y = y / jnp.exp2(out_fl)
         return Act(y, out_fl), updates
 
-    y = _conv2d(x_val, w_q, spec) + bias
+    y = conv(x_val, w_q, spec) + bias
     return Act(y, None), updates
 
 

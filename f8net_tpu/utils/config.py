@@ -48,6 +48,17 @@ class QuantConfig:
     pool_fusing: bool = False
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
+    # TPU knob (beyond the reference, off by default): run the QAT
+    # training-forward convs with bf16 operands + f32 accumulation.  The
+    # main conv's operands are quantized-grid values that bf16 holds
+    # exactly; the stat conv's raw weights round at ~2^-9 relative,
+    # perturbing only the BN statistics; backward convs stay f32
+    # (nn/quant_layers.py:_conv2d_bf16).  MEASURED on the v5e (2026-08-17,
+    # docs/BENCHMARKS.md): neutral on ResNet18, 20% SLOWER on MobileNetV2 --
+    # this toolchain sets --xla_allow_excess_precision=true, so XLA already
+    # runs f32 convs at reduced internal precision and the explicit casts
+    # only add fusion barriers.  Kept as a documented negative result.
+    train_conv_bf16: bool = False
 
     @property
     def floating(self) -> bool:

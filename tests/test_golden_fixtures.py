@@ -77,3 +77,44 @@ def test_profiles_usable_by_visual_tool():
     parsed = _parse("mbv2_fix_quant.out")
     table = profile_table(parsed)
     assert "tail.0\t6.0\t7.0" in table
+
+
+def test_mbv2_log_fraclens_bake_through_conversion():
+    """Imported-profile path: seed the input-fraclen EMA buffers with the
+    reference's bundled trained-model profile (mbv2_fix_quant.out) and run
+    the integer conversion -- every layer's baked input_fl must reproduce
+    the logged value exactly (this also cross-checks the master/following
+    EMA-owner indirection against the reference's own logs: a follower's
+    logged fraclen must equal its owner's or the assertion fails)."""
+    import jax
+    import jax.numpy as jnp
+
+    from f8net_tpu.quant import bake_plan
+
+    parsed = _parse("mbv2_fix_quant.out")
+    cfg = QuantConfig(
+        format_from_metric=True, metric="std", quant_bias=True,
+        quant_avgpool=True, pool_fusing=True,
+    )
+    model = get_model("mobilenet_v2", cfg, num_classes=1000, image_size=224)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    state = {name: dict(st) for name, st in state.items()}
+    for ref_name, d in parsed.items():
+        ours = _ref_layer_to_ours(ref_name)
+        if "input_fl_ema" in state.get(ours, {}):
+            state[ours]["input_fl_ema"] = jnp.full_like(
+                state[ours]["input_fl_ema"], float(d["input_fraclen"][0])
+            )
+
+    plan, _ = bake_plan(model, params, state)
+    for ref_name, d in parsed.items():
+        ours = _ref_layer_to_ours(ref_name)
+        if model.graph[ours].weight_only:
+            # the log prints the dormant EMA buffer, but weight-only layers
+            # consume fraclen-8 raw input (reference get_input_fraclen;
+            # ours: nn/quant_layers.py:input_fraclen)
+            assert plan[ours].input_fl == 8, ours
+            continue
+        want = int(round(d["input_fraclen"][0]))
+        assert plan[ours].input_fl == want, (ours, plan[ours].input_fl, want)

@@ -138,3 +138,20 @@ def test_crosshost_engine_single_process_degenerate():
     assert out.shape == (2, 2)
     np.testing.assert_allclose(out[:, 1], [3, 5], rtol=1e-6)
     assert srv2.stats["padded"] >= 6
+
+
+def test_bucketed_batch_sizes():
+    """Low load pads only to the smallest bucket; full load uses the largest."""
+    eng = _EchoEngine()
+    srv = ServingEngine(eng, max_wait_ms=5, buckets=(2, 4, 16)).start()
+    assert srv.batch_size == 16
+    out = srv.infer(_img(3.0))  # 1 image -> bucket 2 (1 pad row)
+    assert out.shape == (1, 2)
+    np.testing.assert_allclose(out[0, 0], 3.0 * 8 * 8 * 3, rtol=1e-6)
+    big = np.stack([_img(i) for i in range(7)])  # 7 images -> bucket 16
+    out = srv.infer(big)
+    srv.stop()
+    np.testing.assert_allclose(out[:, 0], np.arange(7) * 8 * 8 * 3, rtol=1e-6)
+    hits = srv.stats["bucket_hits"]
+    assert hits.get(2) == 1 and hits.get(16) == 1, hits
+    assert srv.stats["padded"] == 1 + 9

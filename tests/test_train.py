@@ -192,3 +192,95 @@ def test_async_checkpointer_surfaces_errors(tmp_path, monkeypatch):
     ck.close()
     trees, _ = C.load_checkpoint(str(tmp_path / "y"))
     np.testing.assert_array_equal(trees["x"], np.arange(2))
+
+
+
+def test_train_conv_bf16_op_semantics():
+    """The bf16-operand training conv (nn/quant_layers.py:_conv2d_bf16):
+    (a) on quantization-grid operands it equals the f32 conv up to f32
+        reduction order (operands are exact in bf16);
+    (b) its VJP is the f32 conv's VJP (backward precision untouched);
+    (c) on arbitrary operands (the stat conv) the error is bf16 operand
+        rounding, ~2^-9 relative."""
+    from f8net_tpu.nn.quant_layers import _conv2d, _conv2d_bf16
+    from f8net_tpu.nn.spec import ConvBNSpec
+
+    spec = ConvBNSpec(
+        name="t", in_ch=32, out_ch=48, kernel=(3, 3), stride=(1, 1), padding=(1, 1)
+    )
+    rng = np.random.RandomState(3)
+    # grid operands: x = k * 2^-8 (k in [0, 255]), w = k * 2^-7 (|k| <= 127)
+    x = jnp.asarray(rng.randint(0, 256, (2, 16, 16, 32)) / 256.0, jnp.float32)
+    w = jnp.asarray(rng.randint(-127, 128, (3, 3, 32, 48)) / 128.0, jnp.float32)
+
+    y_b = _conv2d_bf16(x, w, spec)
+    y_f = _conv2d(x, w, spec)
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_f), rtol=2e-6, atol=2e-5)
+
+    g = jnp.asarray(rng.randn(*y_f.shape), jnp.float32)
+    _, vjp_b = jax.vjp(lambda a, b: _conv2d_bf16(a, b, spec), x, w)
+    _, vjp_f = jax.vjp(lambda a, b: _conv2d(a, b, spec), x, w)
+    for db, df in zip(vjp_b(g), vjp_f(g)):
+        np.testing.assert_allclose(np.asarray(db), np.asarray(df), rtol=1e-6, atol=1e-6)
+
+    # arbitrary (stat-conv) operands: bounded by bf16 operand rounding
+    xs = jnp.asarray(rng.randn(2, 16, 16, 32), jnp.float32)
+    ws = jnp.asarray(rng.randn(3, 3, 32, 48) * 0.1, jnp.float32)
+    es = np.abs(np.asarray(_conv2d_bf16(xs, ws, spec) - _conv2d(xs, ws, spec)))
+    scale = np.abs(np.asarray(_conv2d(xs, ws, spec))).max()
+    assert es.max() / scale < 2e-2, es.max() / scale
+
+
+def test_train_conv_bf16_model_contract():
+    """Model-level: the flag must not change formats discretely beyond
+    threshold flips (EMA fraclens stay close after one step; the first
+    layer, with no upstream quantization flips, tracks tightly) and the
+    baked integer engines stay bit-exact after training with the flag."""
+    from f8net_tpu.engine import IntEngine
+    from f8net_tpu.quant import bake_plan
+
+    base = QuantConfig(
+        format_from_metric=True, metric="std", quant_bias=True,
+        quant_avgpool=True, pool_fusing=True,
+    )
+    results = {}
+    for flag in (False, True):
+        cfg = base.replace(train_conv_bf16=flag)
+        model = get_model("resnet18", cfg, num_classes=10, image_size=32)
+        params, state = model.init(jax.random.PRNGKey(0))
+        x = jnp.round(
+            255 * jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 32, 3))
+        ) / 256
+        _, state = model.apply(params, state, x, mode="train")
+        results[flag] = (model, params, state, x)
+
+    _, _, s32, _ = results[False]
+    _, _, sb16, _ = results[True]
+    # head: identical inputs/weights both runs -- only bf16 stat rounding
+    np.testing.assert_allclose(
+        np.asarray(sb16["head"]["bn_mean"]), np.asarray(s32["head"]["bn_mean"]),
+        rtol=1e-2, atol=1e-2,
+    )
+    # EMA fraclens (log2 domain) stay close everywhere
+    for name in s32:
+        if "input_fl_ema" in s32[name]:
+            np.testing.assert_allclose(
+                np.asarray(sb16[name]["input_fl_ema"]),
+                np.asarray(s32[name]["input_fl_ema"]),
+                rtol=5e-2, atol=0.1, err_msg=name,
+            )
+
+    # train two more steps with the flag, bake, and hold the engine contract
+    model, params, state, x = results[True]
+    for _ in range(2):
+        _, state = model.apply(params, state, x, mode="train")
+    plan, int_params = bake_plan(model, params, state)
+    ei = IntEngine(model, plan, int_params, int_only=True)
+    es = IntEngine(model, plan, int_params, int_only=False)
+    xe = jnp.round(
+        255 * jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    ) / 256
+    np.testing.assert_array_equal(
+        np.asarray(ei(ei.condition_input(xe))),
+        np.asarray(es(es.condition_input(xe))),
+    )
