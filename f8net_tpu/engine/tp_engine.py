@@ -1,0 +1,313 @@
+"""Explicit tensor-parallel integer engine: the Megatron pairing at model
+level (shard_map over Mesh('data','model')).
+
+The GSPMD TP route (parallel/mesh.py) shards conv out-channels and lets XLA
+insert an all-gather after every sharded layer.  This engine assigns each
+layer an explicit parallel mode so collectives collapse to one or two int32
+`psum`s per block and ZERO all-gathers (HLO-asserted in
+tests/test_tp_engine.py):
+
+  col    out-channels sharded; input full; output stays sharded
+  shard  depthwise: channelwise on the sharded activations, free
+  row    in-channels sharded (matching the producer's out-shard, or sliced
+         locally from a full input); partial products + zero-point
+         compensation are summed with one `psum`, then bias + requant
+  rep    replicated (the C=3 ResNet stem + maxpool)
+
+Family assignments (tp_modes): MobileNetV2 expand->dw->project == col->
+shard->row (one psum per block; the tail runs col so even the classifier
+psum is the only end collective).  MobileNetV1 dw->pw == shard->row.
+ResNet body[0] col, remaining body + shortcut row (partials of the residual
+pair share the block's psums).  Bit-exactness: int32 addition is
+associative and wraparound (mod 2^32) distributes over partial sums, the
+saturating clip runs only on the psum'd total, and every requant shift is
+a static int -- so the sharded engine is BIT-EQUAL to engine/int_engine.py
+(triangulated in tests/test_tp_engine.py on the virtual 8-device mesh).
+
+Reference: this replaces the reference's NCCL data-parallel-only story
+(myutils/distributed.py) with the TPU scaling-book collective design; no
+reference counterpart exists.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..nn.spec import LinearSpec
+from ..ops.fxp import fix_quant, shift_requant
+from .int_engine import INT32_MAX, _maxpool, avgpool_shift_for
+
+
+def tp_modes(model) -> dict:
+    """Layer name -> parallel mode for the Megatron pairing."""
+    fam = model.name
+    modes = {}
+    if fam.startswith("resnet"):
+        modes["head"] = "rep"
+        for meta in model.blocks:
+            modes[meta.body[0]] = "col"
+            for nm in meta.body[1:]:
+                modes[nm] = "row"
+            if meta.shortcut is not None:
+                modes[meta.shortcut] = "row"
+    elif fam == "mobilenet_v1":
+        modes["head"] = "col"
+        for meta in model.blocks:
+            modes[meta.body[0]] = "shard"  # depthwise
+            modes[meta.body[1]] = "row"
+    else:  # mobilenet_v2
+        modes["head"] = "col"
+        for meta in model.blocks:
+            if len(meta.body) == 3:
+                modes[meta.body[0]] = "col"
+                modes[meta.body[1]] = "shard"
+                modes[meta.body[2]] = "row"
+            else:  # t=1 first block: dw -> pw
+                modes[meta.body[0]] = "shard"
+                modes[meta.body[1]] = "row"
+        modes["tail"] = "col"
+    modes["classifier"] = "row"
+    return modes
+
+
+def tp_param_specs(model, modes, axis: str = "model") -> dict:
+    """PartitionSpec pytree for int_params under the mode assignment."""
+    specs = {}
+    for name in model.graph.names():
+        entry = model.graph[name]
+        mode = modes[name]
+        if isinstance(entry, LinearSpec):
+            w = P(axis, None) if mode == "row" else P(None, axis)
+        elif mode in ("col", "shard"):
+            w = P(None, None, None, axis)  # HWIO out-channels (dw: O == C)
+        elif mode == "row":
+            w = P(None, None, axis, None)  # HWIO in-channels
+        else:
+            w = P()
+        b = P(axis) if mode in ("col", "shard") else P()
+        specs[name] = {"w": w, "b": b}
+    return specs
+
+
+def _conv(x, w, stride, padding, groups, pad_value):
+    if pad_value != 0 and max(padding) > 0:
+        x = jnp.pad(
+            x,
+            [(0, 0), (padding[0],) * 2, (padding[1],) * 2, (0, 0)],
+            constant_values=x.dtype.type(pad_value),
+        )
+        pads = [(0, 0), (0, 0)]
+    else:
+        pads = [(padding[0],) * 2, (padding[1],) * 2]
+    return lax.conv_general_dilated(
+        x.astype(jnp.int32),
+        w.astype(jnp.int32),
+        window_strides=stride,
+        padding=pads,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+
+
+class _TAct:
+    __slots__ = ("x", "fl", "packed_for", "sharded")
+
+    def __init__(self, x, fl, packed_for=None, sharded=False):
+        self.x = x
+        self.fl = fl
+        self.packed_for = packed_for
+        self.sharded = sharded
+
+
+class _TPWalker:
+    """Local (per-device) view of the integer graph walk.  Runs inside
+    shard_map: params arrive pre-sliced by tp_param_specs, activations are
+    tracked as full (replicated over the model axis) or sharded."""
+
+    def __init__(self, model, plan, local_params, cfg, modes, axis, nshard):
+        self.model = model
+        self.graph = model.graph
+        self.plan = plan
+        self.params = local_params
+        self.cfg = cfg
+        self.modes = modes
+        self.axis = axis
+        self.nshard = nshard
+
+    def pack_for(self, act: _TAct, name: str) -> _TAct:
+        if act.packed_for is not None:
+            assert act.packed_for == name
+            return act
+        pl = self.plan[name]
+        v = shift_requant(act.x, 8, pl.input_fl, act.fl, pl.input_symmetric)
+        v8 = (v if pl.input_symmetric else v - 128).astype(jnp.int8)
+        return _TAct(v8, pl.input_fl, packed_for=name, sharded=act.sharded)
+
+    def _in_slice(self, x, csh):
+        idx = lax.axis_index(self.axis)
+        return lax.dynamic_slice_in_dim(x, idx * csh, csh, axis=x.ndim - 1)
+
+    def conv_int(self, name: str, act: _TAct, pack_output_for=None) -> _TAct:
+        pl = self.plan[name]
+        spec = self.graph[name]
+        mode = self.modes[name]
+        act = self.pack_for(act, name)
+        p = self.params[name]
+        w = p["w"]
+        pad_value = 0 if pl.input_symmetric else -128
+
+        if mode in ("rep", "col"):
+            assert not act.sharded, name
+            x = act.x
+            groups = spec.groups
+        elif mode == "shard":
+            assert spec.is_depthwise
+            csh = spec.in_ch // self.nshard
+            x = act.x if act.sharded else self._in_slice(act.x, csh)
+            groups = csh
+        else:  # row
+            csh = spec.in_ch // self.nshard
+            x = act.x if act.sharded else self._in_slice(act.x, csh)
+            groups = 1
+            assert spec.groups == 1, name
+
+        y = _conv(x, w, spec.stride, spec.padding, groups, pad_value)
+
+        # zero-point compensation 128*colsum(w): local w gives exactly this
+        # device's share -- for col/shard that IS the sharded bias term; for
+        # row the partial shares sum to the full compensation under the psum
+        if not pl.input_symmetric:
+            y = y + 128 * jnp.sum(w.astype(jnp.int32), axis=(0, 1, 2))
+
+        if mode == "row":
+            y = lax.psum(y, self.axis)
+        y = y + p["b"]
+        out = _TAct(y, pl.out_fl, sharded=mode in ("col", "shard"))
+        if pack_output_for is not None:
+            out = self.pack_for(out, pack_output_for)
+        return out
+
+    def relu_i32(self, act: _TAct) -> _TAct:
+        return _TAct(jnp.maximum(act.x, 0), act.fl, sharded=act.sharded)
+
+    def add_int(self, res: _TAct, x: _TAct) -> _TAct:
+        assert not res.sharded and not x.sharded
+        r, rf, v, vf = res.x, res.fl, x.x, x.fl
+        if rf >= vf:
+            v = v << (rf - vf)
+            out_fl = rf
+        else:
+            r = r << (vf - rf)
+            out_fl = vf
+        return _TAct(jnp.clip(r + v, -INT32_MAX, INT32_MAX), out_fl)
+
+    def classifier(self, act: _TAct):
+        pl = self.plan["classifier"]
+        p = self.params["classifier"]
+        act = self.pack_for(act, "classifier")
+        spec = self.graph["classifier"]
+        csh = spec.in_features // self.nshard
+        x = act.x if act.sharded else self._in_slice(act.x, csh)
+        y = jnp.matmul(
+            x.astype(jnp.int32), p["w"].astype(jnp.int32),
+            preferred_element_type=jnp.int32,
+        )
+        if not pl.input_symmetric:
+            y = y + 128 * jnp.sum(p["w"].astype(jnp.int32), axis=0)
+        y = lax.psum(y, self.axis)
+        y = y + p["b"]
+        return y.astype(jnp.float32)
+
+
+def _tp_body(model, plan, cfg, modes, axis, nshard, x, params):
+    w = _TPWalker(model, plan, params, cfg, modes, axis, nshard)
+    fam = model.name
+    head_pl = plan["head"]
+    a = _TAct(x.astype(jnp.int32), head_pl.input_fl)
+
+    if fam.startswith("resnet"):
+        a = w.relu_i32(w.conv_int("head", a))
+        a = _TAct(_maxpool(a.x, 3, 2, 1), a.fl)
+        for meta in model.blocks:
+            v = a
+            for prev, nxt in zip(meta.body[:-1], meta.body[1:]):
+                v = w.conv_int(prev, v, pack_output_for=nxt)
+            res = w.conv_int(meta.body[-1], v)
+            s = a if meta.shortcut is None else w.conv_int(meta.shortcut, a)
+            a = w.relu_i32(w.add_int(res, s))
+    elif fam == "mobilenet_v1":
+        consumers = [m.body[0] for m in model.blocks[1:]] + [None]
+        a = w.conv_int("head", a, pack_output_for=model.blocks[0].body[0])
+        for meta, nxt in zip(model.blocks, consumers):
+            a = w.conv_int(meta.body[0], a, pack_output_for=meta.body[1])
+            if nxt is not None:
+                a = w.conv_int(meta.body[1], a, pack_output_for=nxt)
+            else:
+                a = w.relu_i32(w.conv_int(meta.body[1], a))
+    else:  # mobilenet_v2
+        consumers = []
+        for k in range(1, len(model.blocks)):
+            nxt = model.blocks[k]
+            consumers.append(None if nxt.residual else nxt.body[0])
+        consumers.append("tail")
+        first = model.blocks[0]
+        a = w.conv_int(
+            "head", a,
+            pack_output_for=None if first.residual else first.body[0],
+        )
+        for meta, nxt in zip(model.blocks, consumers):
+            v = a
+            for prev, nn in zip(meta.body[:-1], meta.body[1:]):
+                v = w.conv_int(prev, v, pack_output_for=nn)
+            if meta.residual:
+                res = w.conv_int(meta.body[-1], v)
+                a = w.add_int(res, a)
+            else:
+                a = w.conv_int(meta.body[-1], v, pack_output_for=nxt)
+        a = w.relu_i32(w.conv_int("tail", a))
+
+    if cfg.quant_avgpool:
+        a = _TAct(
+            jnp.sum(a.x, (1, 2)),
+            a.fl + avgpool_shift_for(getattr(model, "pool_kernel", 7)),
+            sharded=a.sharded,
+        )
+    else:
+        m = jnp.mean(a.x.astype(jnp.float32), (1, 2)) / 2.0**a.fl
+        pl = plan["classifier"]
+        q, _ = fix_quant(m, 8, float(pl.input_fl), 1, pl.input_symmetric)
+        a = _TAct(
+            jnp.round(q * 2.0**pl.input_fl).astype(jnp.int32),
+            pl.input_fl,
+            sharded=a.sharded,
+        )
+    return w.classifier(a)
+
+
+def int_forward_tp(model, plan, int_params, x, mesh: Mesh, cfg=None, axis: str = "model"):
+    """Integer-only TP forward over a Mesh('data','model') with explicit
+    collectives (see module docstring).  `x` is the conditioned input as for
+    int_forward; int_params the baked {w:int8, b:int32[+b_zp]} pytree (the
+    b_zp entries are ignored -- compensation is recomputed shard-locally)."""
+    cfg = cfg or model.cfg
+    modes = tp_modes(model)
+    nshard = mesh.shape[axis]
+    pspecs = tp_param_specs(model, modes, axis)
+    params = {
+        name: {"w": entry["w"], "b": entry["b"]} for name, entry in int_params.items()
+    }
+
+    def body(xb, pb):
+        return _tp_body(model, plan, cfg, modes, axis, nshard, xb, pb)
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("data"), pspecs),
+        out_specs=P("data"),
+    )
+    return fn(x, params)

@@ -1,0 +1,82 @@
+"""Megatron-paired TP integer engine (engine/tp_engine.py): bit-equality
+against the single-device engine on the virtual 8-device mesh, for all
+three families, plus the collective structure it exists for (psums only,
+no all-gathers)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from f8net_tpu.engine import IntEngine
+from f8net_tpu.engine.tp_engine import int_forward_tp, tp_modes
+from f8net_tpu.models import get_model
+from f8net_tpu.parallel import batch_sharding, make_mesh
+from f8net_tpu.quant import bake_plan
+from f8net_tpu.utils import QuantConfig
+
+CFG = QuantConfig(
+    format_from_metric=True, metric="std", quant_bias=True,
+    quant_avgpool=True, pool_fusing=True,
+)
+
+
+def _baked(name, hw=32, n=8, seed=0):
+    model = get_model(name, CFG, num_classes=16, image_size=hw)
+    params, state = model.init(jax.random.PRNGKey(seed))
+    x = jnp.round(
+        255 * jax.random.uniform(jax.random.PRNGKey(seed + 1), (n, hw, hw, 3))
+    ) / 256
+    for _ in range(2):
+        _, state = model.apply(params, state, x, mode="train")
+    plan, ip = bake_plan(model, params, state)
+    return model, plan, ip, x
+
+
+@pytest.mark.parametrize(
+    "name,dp,tp",
+    [
+        ("resnet18", 4, 2),
+        ("resnet18", 2, 4),
+        ("resnet50", 4, 2),  # bottleneck: col -> row -> row (2 psums)
+        ("mobilenet_v1", 2, 4),
+        ("mobilenet_v2", 4, 2),
+    ],
+)
+def test_tp_engine_bitexact_vs_single_device(name, dp, tp):
+    model, plan, ip, x = _baked(name)
+    eng = IntEngine(model, plan, ip)
+    xi = eng.condition_input(x)
+    ref = np.asarray(eng(xi))
+
+    mesh = make_mesh(data=dp, model=tp)
+    xd = jax.device_put(xi, batch_sharding(mesh))
+    fwd = jax.jit(lambda v, p: int_forward_tp(model, plan, p, v, mesh, CFG))
+    out = np.asarray(fwd(xd, ip))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_tp_engine_collective_structure():
+    """The whole sharded model must lower to psums (all-reduce) with ZERO
+    all-gathers -- the point of the explicit pairing."""
+    model, plan, ip, x = _baked("mobilenet_v2")
+    eng = IntEngine(model, plan, ip)
+    xi = eng.condition_input(x)
+    mesh = make_mesh(data=2, model=4)
+    xd = jax.device_put(xi, batch_sharding(mesh))
+    fwd = jax.jit(lambda v, p: int_forward_tp(model, plan, p, v, mesh, CFG))
+    hlo = fwd.lower(xd, ip).compile().as_text()
+    assert "all-gather" not in hlo
+    assert "all-reduce" in hlo
+
+    # mode assignment covers every layer exactly once
+    modes = tp_modes(model)
+    assert set(modes) == set(model.graph.names())
+
+
+def test_tp_engine_modes_cover_all_families():
+    for name in ("resnet50", "mobilenet_v1", "mobilenet_v2"):
+        model = get_model(name, CFG, num_classes=16, image_size=32)
+        modes = tp_modes(model)
+        assert set(modes) == set(model.graph.names()), name
+        assert all(v in ("col", "row", "shard", "rep") for v in modes.values())
