@@ -182,3 +182,130 @@ void eval_preprocess_batch(const uint8_t** srcs, const int* dims, int n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JPEG decode (libjpeg/-turbo).  The Python loader's decode was the pipeline
+// bottleneck AND GIL-bound (worker threads did not scale: 247 img/s at 1, 4,
+// or 8 workers on this 4-core host -- scripts/loader_bench.py).  These entry
+// points decode whole batches across native threads with the GIL released;
+// `denom` in {1,2,4,8} requests libjpeg's DCT-domain scaled decode (the
+// fast_decode path; PIL's Image.draft uses the same mechanism).
+// ---------------------------------------------------------------------------
+
+#if __has_include(<jpeglib.h>)
+#include <csetjmp>
+#include <cstdio>
+#include <jpeglib.h>
+
+namespace {
+
+struct JErr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+void jerr_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JErr*>(cinfo->err)->jb, 1);
+}
+
+void jerr_quiet(j_common_ptr, int) {}
+void jerr_quiet_msg(j_common_ptr) {}
+
+// Parse the header; with full_decode also decompress into out (RGB, 3ch).
+// Returns 1 on success.  w/h receive the (scaled) output dimensions.
+int decode_one(const uint8_t* data, long size, int denom, uint8_t* out,
+               int* w, int* h, bool full_decode) {
+  jpeg_decompress_struct cinfo;
+  JErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jerr_exit;
+  jerr.pub.emit_message = jerr_quiet;
+  jerr.pub.output_message = jerr_quiet_msg;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), (unsigned long)size);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = denom < 1 ? 1 : denom;
+  if (cinfo.jpeg_color_space == JCS_GRAYSCALE ||
+      cinfo.jpeg_color_space == JCS_YCbCr ||
+      cinfo.jpeg_color_space == JCS_RGB) {
+    cinfo.out_color_space = JCS_RGB;
+  } else {
+    jpeg_destroy_decompress(&cinfo);  // CMYK etc.: caller falls back to PIL
+    return 0;
+  }
+  jpeg_calc_output_dimensions(&cinfo);
+  *w = (int)cinfo.output_width;
+  *h = (int)cinfo.output_height;
+  if (!full_decode) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_start_decompress(&cinfo);
+  const int stride = (int)cinfo.output_width * cinfo.output_components;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + (int64_t)cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+int jpeg_support(void) { return 1; }
+
+// Header-only batched dim query (cheap, serial).  oks[i]=0 marks images the
+// decoder cannot handle (caller falls back to PIL for those).
+void jpeg_dims_batch(const uint8_t** datas, const long* sizes, int n,
+                     const int* denoms, int* ws, int* hs, int* oks) {
+  for (int i = 0; i < n; ++i)
+    oks[i] = decode_one(datas[i], sizes[i], denoms[i], nullptr, ws + i,
+                        hs + i, false);
+}
+
+// Batched decode into caller-allocated RGB buffers (ws[i]*hs[i]*3 bytes,
+// from a prior jpeg_dims_batch with the same denoms).
+void jpeg_decode_batch(const uint8_t** datas, const long* sizes, int n,
+                       const int* denoms, uint8_t** outs, const int* ws,
+                       const int* hs, int* oks, int num_threads) {
+  std::atomic<int> next(0);
+  auto work = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      int w = 0, h = 0;
+      oks[i] =
+          decode_one(datas[i], sizes[i], denoms[i], outs[i], &w, &h, true) &&
+          w == ws[i] && h == hs[i];
+    }
+  };
+  int t = std::max(1, num_threads);
+  std::vector<std::thread> pool;
+  for (int i = 0; i < t; ++i) pool.emplace_back(work);
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"
+
+#else  // no <jpeglib.h> at build time
+
+extern "C" {
+int jpeg_support(void) { return 0; }
+void jpeg_dims_batch(const uint8_t**, const long*, int, const int*, int*,
+                     int*, int* oks) {}
+void jpeg_decode_batch(const uint8_t**, const long*, int, const int*,
+                       uint8_t**, const int*, const int*, int* oks, int) {}
+}
+
+#endif

@@ -143,6 +143,12 @@ class ImageFolderDataset:
         path, label = self.samples[idx]
         return Image.open(path), label
 
+    def load_bytes(self, idx: int) -> Tuple[bytes, int]:
+        """Raw file bytes (the native JPEG decode path reads these)."""
+        path, label = self.samples[idx]
+        with open(path, "rb") as f:
+            return f.read(), label
+
 
 class SyntheticDataset:
     """Deterministic random images; for tests and throughput benches."""
@@ -180,6 +186,7 @@ class Loader:
         seed: int = 0,
         drop_last: bool = False,
         fast_decode: bool = False,
+        decode_threads: int = 0,
     ):
         self.ds = dataset
         self.bs = batch_size
@@ -192,6 +199,9 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.fast_decode = fast_decode
+        # native JPEG decode threads per worker (the decode is GIL-free, so
+        # one loader worker with decode_threads ~ cores saturates the host)
+        self.decode_threads = decode_threads or max(1, (os.cpu_count() or 4))
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -235,12 +245,73 @@ class Loader:
         batches = [indices[i : i + self.bs] for i in range(0, len(indices), self.bs)]
 
         use_native = False
+        use_jpeg = False
         try:
-            from ..native import imageops_available
+            from ..native import imageops_available, jpeg_available
 
             use_native = imageops_available()
+            # native JPEG decode: the GIL-free decode path (the Python
+            # decode is the loader bottleneck -- scripts/loader_bench.py);
+            # F8NET_PY_DECODE=1 forces the PIL decode for A/B
+            use_jpeg = (
+                use_native
+                and jpeg_available()
+                and hasattr(self.ds, "load_bytes")
+                and os.environ.get("F8NET_PY_DECODE") != "1"
+            )
         except Exception:
             use_native = False
+
+        def _po2_denom(d: int) -> int:
+            # largest power of two <= d, capped at 8 (libjpeg scaled decode)
+            return 1 << min(3, max(0, int(d).bit_length() - 1))
+
+        def _jpeg_raws(batch, labels, rng):
+            """Decode a batch natively (threads, GIL released); returns raws
+            plus (boxes, flips) for training.  Per-image fallback to PIL for
+            anything the native decoder rejects."""
+            from ..native import c_decode_jpeg_batch, c_jpeg_dims_batch
+
+            blobs = []
+            for j, i in enumerate(batch):
+                b, labels[j] = self.ds.load_bytes(int(i))
+                blobs.append(b)
+            dims = c_jpeg_dims_batch(blobs)
+            denoms, boxes, flips = [], [], []
+            resize_target = int(self.image_size * 256 / 224)
+            for j, (w0, h0, ok) in enumerate(dims):
+                if not ok:  # PIL knows the true size
+                    w0, h0 = self.ds.load(int(batch[j]))[0].size
+                if self.train:
+                    y0, x0, ch, cw, fl = sample_crop(w0, h0, rng)
+                    boxes.append((y0, x0, ch, cw, w0, h0))
+                    flips.append(1 if fl else 0)
+                    d = max(1, min(ch, cw) // (2 * self.image_size)) if self.fast_decode else 1
+                else:
+                    d = max(1, min(w0, h0) // (2 * resize_target)) if self.fast_decode else 1
+                denoms.append(_po2_denom(d))
+            outs = c_decode_jpeg_batch(blobs, denoms, num_threads=self.decode_threads)
+            raws, out_boxes = [], []
+            for j, arr in enumerate(outs):
+                if arr is None:  # fallback: PIL decode (+draft when fast)
+                    img, _ = self.ds.load(int(batch[j]))
+                    if self.fast_decode and denoms[j] > 1:
+                        img.draft(
+                            "RGB",
+                            (img.size[0] // denoms[j], img.size[1] // denoms[j]),
+                        )
+                    arr = np.asarray(img.convert("RGB"), np.uint8)
+                raws.append(arr)
+                if self.train:
+                    y0, x0, ch, cw, w0, h0 = boxes[j]
+                    if arr.shape[1] != w0 or arr.shape[0] != h0:
+                        sx = arr.shape[1] / w0
+                        sy = arr.shape[0] / h0
+                        x0, y0 = int(round(x0 * sx)), int(round(y0 * sy))
+                        cw = max(1, min(int(round(cw * sx)), arr.shape[1] - x0))
+                        ch = max(1, min(int(round(ch * sy)), arr.shape[0] - y0))
+                    out_boxes.append((y0, x0, ch, cw))
+            return raws, out_boxes, flips
 
         def worker(worker_id: int):
             rng = random.Random(self.seed * 1000003 + self.epoch * 97 + worker_id)
@@ -248,20 +319,24 @@ class Loader:
                 batch = batches[bi]
                 labels = np.empty((len(batch),), np.int32)
                 if use_native and not self.train:
-                    # C++ fast path: decode via PIL, then batched antialiased
-                    # resize + center-crop + normalize across native threads
+                    # C++ fast path: native JPEG decode when available (GIL
+                    # released across decode threads), then batched
+                    # antialiased resize + center-crop + normalize
                     from ..native import c_eval_preprocess_batch
 
-                    raws = []
-                    resize_target = int(self.image_size * 256 / 224)
-                    for j, i in enumerate(batch):
-                        img, labels[j] = self.ds.load(int(i))
-                        if self.fast_decode:
-                            w0, h0 = img.size
-                            denom = max(1, min(w0, h0) // (2 * resize_target))
-                            if denom > 1:
-                                img.draft("RGB", (w0 // denom, h0 // denom))
-                        raws.append(np.asarray(img.convert("RGB"), np.uint8))
+                    if use_jpeg:
+                        raws, _, _ = _jpeg_raws(batch, labels, rng)
+                    else:
+                        raws = []
+                        resize_target = int(self.image_size * 256 / 224)
+                        for j, i in enumerate(batch):
+                            img, labels[j] = self.ds.load(int(i))
+                            if self.fast_decode:
+                                w0, h0 = img.size
+                                denom = max(1, min(w0, h0) // (2 * resize_target))
+                                if denom > 1:
+                                    img.draft("RGB", (w0 // denom, h0 // denom))
+                            raws.append(np.asarray(img.convert("RGB"), np.uint8))
                     imgs = c_eval_preprocess_batch(
                         raws,
                         resize=int(self.image_size * 256 / 224),
@@ -272,27 +347,31 @@ class Loader:
                     )
                 elif use_native:
                     # C++ train fast path: python samples the crops (same RNG
-                    # stream as the PIL path), C++ does crop/resize/flip
+                    # stream as the PIL path), C++ decodes (when JPEG) and
+                    # does crop/resize/flip
                     from ..native import c_train_preprocess_batch
 
-                    raws, boxes, flips = [], [], []
-                    for j, i in enumerate(batch):
-                        img, labels[j] = self.ds.load(int(i))
-                        w0, h0 = img.size
-                        y0, x0, ch, cw, fl = sample_crop(w0, h0, rng)
-                        if self.fast_decode:
-                            denom = max(1, min(ch, cw) // (2 * self.image_size))
-                            if denom > 1:
-                                img.draft("RGB", (w0 // denom, h0 // denom))
-                                sx = img.size[0] / w0
-                                sy = img.size[1] / h0
-                                x0, y0 = int(round(x0 * sx)), int(round(y0 * sy))
-                                cw = max(1, min(int(round(cw * sx)), img.size[0] - x0))
-                                ch = max(1, min(int(round(ch * sy)), img.size[1] - y0))
-                        arr = np.asarray(img.convert("RGB"), np.uint8)
-                        raws.append(arr)
-                        boxes.append((y0, x0, ch, cw))
-                        flips.append(1 if fl else 0)
+                    if use_jpeg:
+                        raws, boxes, flips = _jpeg_raws(batch, labels, rng)
+                    else:
+                        raws, boxes, flips = [], [], []
+                        for j, i in enumerate(batch):
+                            img, labels[j] = self.ds.load(int(i))
+                            w0, h0 = img.size
+                            y0, x0, ch, cw, fl = sample_crop(w0, h0, rng)
+                            if self.fast_decode:
+                                denom = max(1, min(ch, cw) // (2 * self.image_size))
+                                if denom > 1:
+                                    img.draft("RGB", (w0 // denom, h0 // denom))
+                                    sx = img.size[0] / w0
+                                    sy = img.size[1] / h0
+                                    x0, y0 = int(round(x0 * sx)), int(round(y0 * sy))
+                                    cw = max(1, min(int(round(cw * sx)), img.size[0] - x0))
+                                    ch = max(1, min(int(round(ch * sy)), img.size[1] - y0))
+                            arr = np.asarray(img.convert("RGB"), np.uint8)
+                            raws.append(arr)
+                            boxes.append((y0, x0, ch, cw))
+                            flips.append(1 if fl else 0)
                     imgs = c_train_preprocess_batch(
                         raws, np.asarray(boxes, np.int32),
                         np.asarray(flips, np.uint8), self.image_size,

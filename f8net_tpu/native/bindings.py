@@ -213,3 +213,92 @@ def c_eval_preprocess_batch(
         mean, std, do_norm, num_threads,
     )
     return out
+
+
+def jpeg_available() -> bool:
+    lib = _load("libimageops.so")
+    if lib is None:
+        return False
+    try:
+        lib.jpeg_support.restype = ctypes.c_int
+        return bool(lib.jpeg_support())
+    except Exception:
+        return False
+
+
+def _jpeg_lib():
+    lib = _load("libimageops.so")
+    if lib is None:
+        raise RuntimeError("libimageops.so not built (run make -C csrc)")
+    if not getattr(lib, "_jpeg_sigs", False):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.jpeg_dims_batch.argtypes = [
+            ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_long), _c, _i32p,
+            _i32p, _i32p, _i32p,
+        ]
+        lib.jpeg_decode_batch.argtypes = [
+            ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_long), _c, _i32p,
+            ctypes.POINTER(u8p), _i32p, _i32p, _i32p, _c,
+        ]
+        lib._jpeg_sigs = True
+    return lib
+
+
+def c_decode_jpeg_batch(blobs, denoms=None, num_threads: int = 4):
+    """Decode a batch of JPEG byte strings across native threads (GIL-free).
+
+    blobs: list of bytes.  denoms: optional per-image DCT scale denominator
+    in {1,2,4,8} (libjpeg scaled decode; the fast_decode path).  Returns a
+    list of uint8 HWC RGB arrays, with None for images the native decoder
+    cannot handle (progressive CMYK etc. -- caller falls back to PIL)."""
+    lib = _jpeg_lib()
+    n = len(blobs)
+    if n == 0:
+        return []
+    if denoms is None:
+        denoms = [1] * n
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    bufs = [np.frombuffer(b, np.uint8) for b in blobs]
+    ptrs = (u8p * n)(*[b.ctypes.data_as(u8p) for b in bufs])
+    sizes = (ctypes.c_long * n)(*[len(b) for b in blobs])
+    dn = np.ascontiguousarray(denoms, np.int32)
+    ws = np.zeros(n, np.int32)
+    hs = np.zeros(n, np.int32)
+    oks = np.zeros(n, np.int32)
+    lib.jpeg_dims_batch(ptrs, sizes, n, dn.ravel(), ws, hs, oks)
+    outs = [
+        np.empty((int(hs[i]), int(ws[i]), 3), np.uint8) if oks[i] else None
+        for i in range(n)
+    ]
+    optrs = (u8p * n)(
+        *[
+            (o.ctypes.data_as(u8p) if o is not None else u8p())
+            for o in outs
+        ]
+    )
+    # re-mark unsupported images so decode skips them
+    dec_oks = np.array(oks)
+    lib.jpeg_decode_batch(ptrs, sizes, n, dn.ravel(), optrs, ws, hs, dec_oks, num_threads)
+    return [
+        outs[i] if (oks[i] and dec_oks[i]) else None for i in range(n)
+    ]
+
+
+def c_jpeg_dims_batch(blobs, denoms=None):
+    """Header-only (w, h, ok) per JPEG blob (native decoder's view)."""
+    lib = _jpeg_lib()
+    n = len(blobs)
+    if n == 0:
+        return []
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    bufs = [np.frombuffer(b, np.uint8) for b in blobs]
+    ptrs = (u8p * n)(*[b.ctypes.data_as(u8p) for b in bufs])
+    sizes = (ctypes.c_long * n)(*[len(b) for b in blobs])
+    if denoms is None:
+        denoms = [1] * n
+    dn = np.ascontiguousarray(denoms, np.int32)
+    ws = np.zeros(n, np.int32)
+    hs = np.zeros(n, np.int32)
+    oks = np.zeros(n, np.int32)
+    lib.jpeg_dims_batch(ptrs, sizes, n, dn.ravel(), ws, hs, oks)
+    return [(int(ws[i]), int(hs[i]), bool(oks[i])) for i in range(n)]

@@ -159,3 +159,57 @@ def test_eval_transform_geometry():
     img2 = Image.fromarray(np.zeros((100, 80, 3), np.uint8))
     a2 = eval_transform(img2, size=64, resize=96)
     assert a2.shape == (64, 64, 3)
+
+
+def test_native_jpeg_decode_loader_parity(tmp_path, monkeypatch):
+    """The native JPEG decode path (csrc libjpeg, GIL-free threads) must
+    produce the same loader batches as the PIL decode path -- exactly for
+    eval/train full decode (both are libjpeg-turbo), and same shapes +
+    RNG stream for the approximate fast_decode path."""
+    import pytest
+    from PIL import Image
+
+    from f8net_tpu.data.pipeline import ImageFolderDataset, Loader
+    from f8net_tpu.native import imageops_available, jpeg_available
+
+    if not (imageops_available() and jpeg_available()):
+        pytest.skip("native imageops/jpeg not built")
+
+    rng = np.random.RandomState(0)
+    for c in range(2):
+        (tmp_path / f"c{c}").mkdir()
+    for i in range(12):
+        w, h = (90, 70) if i % 2 else (70, 90)
+        arr = rng.randint(0, 256, (h, w, 3), np.uint8)
+        Image.fromarray(arr).save(
+            tmp_path / f"c{i % 2}" / f"im{i:02d}.jpg", quality=80
+        )
+    ds = ImageFolderDataset(str(tmp_path))
+
+    for train in (True, False):
+        def run():
+            ld = Loader(
+                ds, batch_size=4, train=train, image_size=32,
+                num_workers=1, seed=3,
+            )
+            return list(ld)
+
+        monkeypatch.setenv("F8NET_PY_DECODE", "1")
+        ref = run()
+        monkeypatch.delenv("F8NET_PY_DECODE")
+        out = run()
+        assert len(out) == len(ref)
+        for (ia, la), (ib, lb) in zip(ref, out):
+            np.testing.assert_array_equal(la, lb)
+            np.testing.assert_array_equal(ia, ib)
+
+    # the raw decoder agrees with PIL bit-for-bit (both libjpeg-turbo)
+    from f8net_tpu.native import c_decode_jpeg_batch
+
+    blob, _ = ds.load_bytes(0)
+    out = c_decode_jpeg_batch([blob])[0]
+    # samples[0] is the first sorted file of the first class: c0/im00.jpg
+    ref = np.asarray(Image.open(tmp_path / "c0" / "im00.jpg").convert("RGB"))
+    np.testing.assert_array_equal(out, ref)
+    # garbage input degrades to None (loader falls back to PIL)
+    assert c_decode_jpeg_batch([b"junk"]) == [None]
