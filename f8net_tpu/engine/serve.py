@@ -230,9 +230,26 @@ class CrossHostServingEngine:
         tick_ms: float = 5.0,
         image_shape=None,
         image_dtype=np.uint8,
+        buckets=None,
         name: str = "f8net-xhost-serving",
     ):
+        """buckets: optional ascending GLOBAL batch-size ladder (each
+        divisible by process_count and by the mesh data axis).  Every round
+        the hosts agree on one bucket via a tiny collective (the psum of
+        per-host queue depths -- the DCN coordination layer): the smallest
+        bucket holding the global demand runs, so idle/low-load ticks cost
+        the smallest executable instead of the full batch.  Lockstep is
+        preserved: the coordination sum and the chosen bucket are identical
+        on every host by construction."""
         nproc = jax.process_count()
+        if buckets:
+            buckets = tuple(sorted(set(int(b) for b in buckets)))
+            assert global_batch == 64 or global_batch == buckets[-1]
+            global_batch = buckets[-1]
+        self.buckets = buckets or (global_batch,)
+        assert all(b % nproc == 0 for b in self.buckets), (self.buckets, nproc)
+        d = dict(mesh.shape)["data"]
+        assert all(b % d == 0 for b in self.buckets), (self.buckets, d)
         assert global_batch % nproc == 0, (global_batch, nproc)
         # Lockstep invariant: every process must dispatch the same sequence
         # of collective rounds.  A host that has never seen a request cannot
@@ -251,7 +268,10 @@ class CrossHostServingEngine:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True, name=name)
         self._started = False
-        self.stats = {"batches": 0, "images": 0, "padded": 0, "idle_rounds": 0}
+        self.stats = {
+            "batches": 0, "images": 0, "padded": 0, "idle_rounds": 0,
+            "bucket_hits": {},
+        }
 
     def start(self):
         if not self._started:
@@ -299,15 +319,59 @@ class CrossHostServingEngine:
             n += item[0].shape[0]
         return items, n
 
+    def _coord_fns(self):
+        """The DCN coordination collective: a tiny sharded reduce of
+        per-host (queue depth, stop flag) rows.  Every host computes the
+        same (total, max_per_host, all_stopped), so bucket choice AND
+        shutdown are lockstep -- a host that called stop() keeps ticking
+        padding rounds until every peer has also requested stop, which
+        keeps the collectives matched (no one-sided program at teardown)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        csh = NamedSharding(self.mesh, P("data", None))
+        repl = NamedSharding(self.mesh, P())
+        ndev_local = len(jax.local_devices())
+        nproc = jax.process_count()
+        reduce_fn = jax.jit(
+            lambda v: (jnp.sum(v, axis=0), jnp.max(v[:, 0])),
+            out_shardings=(repl, repl),
+        )
+
+        def coord(n_local: int, stopping: bool):
+            row = np.tile(
+                np.asarray([[n_local, int(stopping)]], np.int32), (ndev_local, 1)
+            )
+            garr = jax.make_array_from_process_local_data(csh, row)
+            s, m = reduce_fn(garr)
+            s = np.asarray(s)
+            total = int(s[0]) // ndev_local
+            stops = int(s[1]) // ndev_local
+            return total, int(m), stops == nproc
+
+        return coord
+
+    def _pick_bucket(self, total: int, max_host: int, nproc: int) -> int:
+        for b in self.buckets:
+            if b >= total and b // nproc >= max_host:
+                return b
+        return self.buckets[-1]
+
     def _loop(self):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         bsh = NamedSharding(self.mesh, P("data"))
         shape = self.image_shape
         dtype = self.image_dtype
+        nproc = jax.process_count()
+        # multi-process always coordinates (bucket agreement + collective
+        # shutdown); single-process skips the collective entirely
+        coord = self._coord_fns() if (nproc > 1 or len(self.buckets) > 1) else None
         pending = []  # (logits_dev, items, valid) one-deep pipeline
-        while not self._stop.is_set():
-            items, n = self._collect()
+        while True:
+            stopping = self._stop.is_set()
+            if stopping and (nproc == 1 or coord is None):
+                break
+            items, n = ([], 0) if stopping else self._collect()
             launched = []
             if shape is None and not items:
                 # single-process mode may lazily learn the shape from the
@@ -318,14 +382,29 @@ class CrossHostServingEngine:
             if items:
                 shape = items[0][0].shape[1:]
                 dtype = items[0][0].dtype
-            local = np.zeros((self.per_host,) + tuple(shape), dtype)
+            if coord is not None:
+                # bucket ladder + shutdown agreement: the smallest executable
+                # that holds the global demand (max_host bounds per-host
+                # shards, so no host ever defers items it already collected)
+                total, max_host, all_stopped = coord(n, stopping)
+                if all_stopped:
+                    break
+                bucket = self._pick_bucket(total, max_host, nproc)
+            else:
+                bucket = self.buckets[-1]
+            per = bucket // nproc
+            local = np.zeros((per,) + tuple(shape), dtype)
             row = 0
             for arr, _ in items:
                 local[row : row + arr.shape[0]] = arr
                 row += arr.shape[0]
-            self.stats["padded"] += self.per_host - n
+            self.stats["padded"] += per - n
             if not items:
                 self.stats["idle_rounds"] += 1
+            else:
+                self.stats["bucket_hits"][bucket] = (
+                    self.stats["bucket_hits"].get(bucket, 0) + 1
+                )
             try:
                 gx = jax.make_array_from_process_local_data(bsh, local)
                 logits = self.engine(gx)  # collective across hosts

@@ -57,7 +57,32 @@ def main():
 
     time.sleep(1.0)
     srv.stop()
-    print(f"serving worker {pid}: ok ({srv.stats})")
+
+    # ---- bucket ladder: hosts agree on the round's bucket via the psum of
+    # queue depths; low load runs the small executable ----------------------
+    srv2 = CrossHostServingEngine(
+        engine, mesh, tick_ms=20, buckets=(n_dev, 2 * n_dev, 4 * n_dev),
+        image_shape=(4, 4, 3), image_dtype=np.float32,
+    ).start()
+    # low load: one request on host 0 only -> smallest bucket
+    if pid == 0:
+        o = srv2.infer(img(5.0), timeout=60)
+        np.testing.assert_allclose(o[0, 0], 5.0 * 4 * 4 * 3, rtol=1e-6)
+    time.sleep(0.6)
+    # one largest-shard request per host: max_host pins the largest bucket
+    big = np.stack([img(100 + 10 * pid + i) for i in range(2 * n_dev)])
+    out = srv2.infer(big, timeout=60)
+    for i in range(2 * n_dev):
+        v = 100 + 10 * pid + i
+        np.testing.assert_allclose(out[i, 0], v * 4 * 4 * 3, rtol=1e-6)
+    time.sleep(1.0)
+    srv2.stop()
+    hits = srv2.stats["bucket_hits"]
+    if pid == 0:
+        assert min(hits) == n_dev, hits  # the low-load round ran small
+    assert max(hits) == 4 * n_dev, hits  # the big request ran the largest
+
+    print(f"serving worker {pid}: ok ({srv.stats} | ladder {srv2.stats})")
 
 
 if __name__ == "__main__":
