@@ -43,6 +43,9 @@ def test_quant_flags_split():
     assert q.format_from_metric and q.metric == "std" and q.quant_avgpool
     assert t.num_epochs == 150
     assert extras["model"] == "models.fix_resnet" and extras["depth"] == 18
+    # TPU-only knobs plumb through the same vocabulary
+    q2, _, _ = from_flags({"train_conv_bf16": True}, batch_size=8)
+    assert q2.train_conv_bf16
 
 
 def test_generated_configs_load(tmp_path):
