@@ -52,6 +52,29 @@ def _time_pair(fn_a, args_a, fn_b, args_b, rounds=4, iters=5):
     return med(ts_a), med(ts_b), ratios[len(ratios) // 2]
 
 
+def _backend_or_die(deadline_s: int):
+    """Fail fast (and loudly) when the TPU relay is down instead of hanging
+    in the plugin's init-retry loop (observed 2026-08-18: backend init
+    retried >40 min while the axon terminal was unavailable)."""
+    import signal
+
+    def _alarm(signum, frame):
+        print(
+            json.dumps({"error": "TPU backend init exceeded deadline",
+                        "deadline_s": deadline_s}),
+            file=sys.stderr, flush=True,
+        )
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(deadline_s)
+    try:
+        devs = jax.devices()
+    finally:
+        signal.alarm(0)
+    return devs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="resnet18")
@@ -86,7 +109,9 @@ def main():
     from f8net_tpu.quant import bake_plan
     from f8net_tpu.utils import QuantConfig
 
-    platform = jax.devices()[0].platform
+    platform = _backend_or_die(
+        int(os.environ.get("F8NET_BENCH_INIT_DEADLINE", "900"))
+    )[0].platform
     cfg = QuantConfig(
         format_from_metric=True,
         metric="std",
