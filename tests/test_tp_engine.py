@@ -80,3 +80,25 @@ def test_tp_engine_modes_cover_all_families():
         modes = tp_modes(model)
         assert set(modes) == set(model.graph.names()), name
         assert all(v in ("col", "row", "shard", "rep") for v in modes.values())
+
+
+def test_tp_engine_normalized_pipeline():
+    """Signed (double-side) head input: no zero-point compensation, zero
+    padding -- the other conv_int branch of the TP walker."""
+    cfg = CFG.replace(normalize=True)
+    model = get_model("resnet18", cfg, num_classes=16, image_size=32)
+    params, state = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    for _ in range(2):
+        _, state = model.apply(params, state, x, mode="train")
+    from f8net_tpu.quant import bake_plan
+
+    plan, ip = bake_plan(model, params, state)
+    assert plan["head"].input_symmetric
+    eng = IntEngine(model, plan, ip)
+    xi = eng.condition_input(x)
+    ref = np.asarray(eng(xi))
+    mesh = make_mesh(data=2, model=4)
+    xd = jax.device_put(xi, batch_sharding(mesh))
+    out = np.asarray(int_forward_tp(model, plan, ip, xd, mesh, cfg))
+    np.testing.assert_array_equal(out, ref)
