@@ -36,8 +36,9 @@ def main():
         warmup_epochs=0, topk=(1,), num_classes=5,
     )
 
-    # 2. build + quantization-aware training
-    model = get_model("resnet18", cfg, num_classes=5)
+    # 2. build + quantization-aware training (image_size fixes the pool
+    # extent -- the int avgpool shift is derived from it)
+    model = get_model("resnet18", cfg, num_classes=5, image_size=32)
     trainer = Trainer(model, cfg, tcfg)
     params, state, opt = trainer.init(jax.random.PRNGKey(0))
     batches = []
