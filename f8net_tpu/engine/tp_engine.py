@@ -66,6 +66,9 @@ def tp_modes(model) -> dict:
                 modes[meta.body[1]] = "shard"
                 modes[meta.body[2]] = "row"
             else:  # t=1 first block: dw -> pw
+                # no MBv2 t=1 block is residual (32->16); keep the untested
+                # combination loud rather than silently accepted
+                assert not meta.residual, meta
                 modes[meta.body[0]] = "shard"
                 modes[meta.body[1]] = "row"
         modes["tail"] = "col"
