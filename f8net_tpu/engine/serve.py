@@ -231,6 +231,7 @@ class CrossHostServingEngine:
         image_shape=None,
         image_dtype=np.uint8,
         buckets=None,
+        prewarm: bool = False,
         name: str = "f8net-xhost-serving",
     ):
         """buckets: optional ascending GLOBAL batch-size ladder (each
@@ -264,6 +265,13 @@ class CrossHostServingEngine:
         self.global_batch = global_batch
         self.per_host = global_batch // nproc
         self.tick_ms = tick_ms
+        # prewarm: compile/run every bucket once with padding before serving
+        # (needs image_shape) so a load spike never pays first-hit compile
+        # latency; collective-safe -- every host prewarms the same sequence
+        self.prewarm = prewarm
+        assert not prewarm or image_shape is not None, (
+            "prewarm requires image_shape"
+        )
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True, name=name)
@@ -366,6 +374,13 @@ class CrossHostServingEngine:
         # multi-process always coordinates (bucket agreement + collective
         # shutdown); single-process skips the collective entirely
         coord = self._coord_fns() if (nproc > 1 or len(self.buckets) > 1) else None
+        if self.prewarm:
+            for b in self.buckets:
+                z = np.zeros((b // nproc,) + tuple(shape), dtype)
+                jax.block_until_ready(
+                    self.engine(jax.make_array_from_process_local_data(bsh, z))
+                )
+            self.stats["prewarmed"] = list(self.buckets)
         pending = []  # (logits_dev, items, valid) one-deep pipeline
         while True:
             stopping = self._stop.is_set()

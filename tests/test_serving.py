@@ -155,3 +155,22 @@ def test_bucketed_batch_sizes():
     hits = srv.stats["bucket_hits"]
     assert hits.get(2) == 1 and hits.get(16) == 1, hits
     assert srv.stats["padded"] == 1 + 9
+
+
+def test_crosshost_prewarm_buckets():
+    """prewarm runs every bucket once before serving (no first-hit compile
+    latency mid-traffic); results still route correctly afterwards."""
+    from f8net_tpu.engine.serve import CrossHostServingEngine
+
+    eng = _EchoEngine()
+    mesh = make_mesh(data=8, model=1)
+    srv = CrossHostServingEngine(
+        eng, mesh, buckets=(8, 16), tick_ms=5,
+        image_shape=(8, 8, 3), image_dtype=np.float32, prewarm=True,
+    ).start()
+    out = srv.infer(_img(4.0), timeout=30)
+    srv.stop()
+    assert srv.stats.get("prewarmed") == [8, 16]
+    np.testing.assert_allclose(out[0, 0], 4.0 * 8 * 8 * 3, rtol=1e-6)
+    # both buckets ran before the first real round
+    assert eng.calls >= 3
