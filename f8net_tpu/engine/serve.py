@@ -63,6 +63,11 @@ class ServingEngine:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True, name=name)
         self._started = False
+        # reusable batch buffers, 2 per bucket (round-robin matching the
+        # one-deep pipeline): tail rows keep stale data instead of paying a
+        # pad memcpy -- their outputs are never routed (dispatcher_bench.py:
+        # the pad copy was the dominant front-end cost at low fill)
+        self._bufs = {}
         self.stats = {"batches": 0, "images": 0, "padded": 0, "bucket_hits": {}}
 
     # -- public API ---------------------------------------------------------
@@ -159,14 +164,26 @@ class ServingEngine:
         # dispatches a small compiled program instead of the full batch
         bucket = next(b for b in self.buckets if b >= n)
         pad = bucket - n
-        padded = np.concatenate([batch, np.repeat(batch[-1:], pad, 0)]) if pad else batch
+        if pad:
+            key = (bucket,) + tuple(batch.shape[1:]) + (batch.dtype.str,)
+            ring = self._bufs.setdefault(
+                key,
+                [np.zeros((bucket,) + batch.shape[1:], batch.dtype) for _ in range(2)],
+            )
+            ring.append(buf := ring.pop(0))
+            buf[:n] = batch  # stale tail rows are never routed
+            padded = buf
+        else:
+            padded = batch
         self.stats["padded"] += pad
         self.stats["bucket_hits"][bucket] = self.stats["bucket_hits"].get(bucket, 0) + 1
         out.append((self._run(padded), items, n))
         return out
 
     def _run(self, device_batch):
-        x = jnp.asarray(device_batch)
+        # jnp.array (copy=True contract): the reusable host buffer must never
+        # be aliased by the device array (we overwrite it two batches later)
+        x = jnp.array(device_batch)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
