@@ -90,3 +90,28 @@ def test_cli_test_only(tmp_path, capsys):
     cli.main([f"app:{p}", "bs:8"])
     out = capsys.readouterr().out
     assert "test" in out and "weight_fraclen" in out
+
+
+def test_cli_train_on_jpeg_imagefolder(tmp_path, capsys):
+    """End-to-end through the real data path: ImageFolder of JPEGs ->
+    native batched decode -> transforms -> QAT train + eval via the CLI."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for split, n in (("train", 20), ("val", 10)):
+        for c in range(5):
+            os.makedirs(os.path.join(tmp_path, "data", split, f"c{c}"), exist_ok=True)
+        for i in range(n):
+            arr = rng.randint(0, 256, (48, 56, 3), np.uint8)
+            Image.fromarray(arr).save(
+                os.path.join(tmp_path, "data", split, f"c{i % 5}", f"i{i:03d}.jpg"),
+                quality=80,
+            )
+    p = _cfg(
+        tmp_path, "jpeg",
+        dataset="imagenet1k_blah", dataset_dir=os.path.join(tmp_path, "data"),
+        synthetic_size=None,
+    )
+    cli.main([f"app:{p}", "bs:8"])
+    out = capsys.readouterr().out
+    assert "Start training." in out and "layer name: head." in out
