@@ -55,10 +55,12 @@ def _time_pair(fn_a, args_a, fn_b, args_b, rounds=4, iters=5):
 def _backend_or_die(deadline_s: int):
     """Fail fast (and loudly) when the TPU relay is down instead of hanging
     in the plugin's init-retry loop (observed 2026-08-18: backend init
-    retried >40 min while the axon terminal was unavailable)."""
-    import signal
+    retried >40 min while the axon terminal was unavailable).  A watchdog
+    THREAD, not SIGALRM: the hang sits inside one GIL-releasing native call,
+    so a Python signal handler would only run after it returns."""
+    import threading
 
-    def _alarm(signum, frame):
+    def _die():
         print(
             json.dumps({"error": "TPU backend init exceeded deadline",
                         "deadline_s": deadline_s}),
@@ -66,12 +68,13 @@ def _backend_or_die(deadline_s: int):
         )
         os._exit(3)
 
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(deadline_s)
+    watchdog = threading.Timer(deadline_s, _die)
+    watchdog.daemon = True
+    watchdog.start()
     try:
         devs = jax.devices()
     finally:
-        signal.alarm(0)
+        watchdog.cancel()
     return devs
 
 

@@ -192,7 +192,7 @@ void eval_preprocess_batch(const uint8_t** srcs, const int* dims, int n,
 // fast_decode path; PIL's Image.draft uses the same mechanism).
 // ---------------------------------------------------------------------------
 
-#if __has_include(<jpeglib.h>)
+#if !defined(F8NET_NO_JPEG) && __has_include(<jpeglib.h>)
 #include <csetjmp>
 #include <cstdio>
 #include <jpeglib.h>
@@ -298,7 +298,7 @@ void jpeg_decode_batch(const uint8_t** datas, const long* sizes, int n,
 
 }  // extern "C"
 
-#else  // no <jpeglib.h> at build time
+#else  // no usable libjpeg at build time
 
 extern "C" {
 int jpeg_support(void) { return 0; }

@@ -199,9 +199,12 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.fast_decode = fast_decode
-        # native JPEG decode threads per worker (the decode is GIL-free, so
-        # one loader worker with decode_threads ~ cores saturates the host)
-        self.decode_threads = decode_threads or max(1, (os.cpu_count() or 4))
+        # native JPEG decode threads per worker: the decode is GIL-free, so
+        # workers x decode_threads should about cover the cores (not each
+        # worker grabbing all of them)
+        self.decode_threads = decode_threads or max(
+            1, (os.cpu_count() or 4) // self.workers
+        )
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -290,7 +293,12 @@ class Loader:
                 else:
                     d = max(1, min(w0, h0) // (2 * resize_target)) if self.fast_decode else 1
                 denoms.append(_po2_denom(d))
-            outs = c_decode_jpeg_batch(blobs, denoms, num_threads=self.decode_threads)
+            # exact-decode (all denoms 1): the dims we already parsed match
+            # the decode's output dims, so skip the second header pass
+            reuse = dims if all(d == 1 for d in denoms) else None
+            outs = c_decode_jpeg_batch(
+                blobs, denoms, num_threads=self.decode_threads, dims=reuse
+            )
             raws, out_boxes = [], []
             for j, arr in enumerate(outs):
                 if arr is None:  # fallback: PIL decode (+draft when fast)

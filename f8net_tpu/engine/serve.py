@@ -30,7 +30,7 @@ class ServingEngine:
     def __init__(
         self,
         engine,
-        batch_size: int = 64,
+        batch_size: Optional[int] = None,
         max_wait_ms: float = 5.0,
         mesh=None,
         buckets=None,
@@ -45,10 +45,11 @@ class ServingEngine:
         self.engine = engine
         if buckets:
             buckets = tuple(sorted(set(int(b) for b in buckets)))
-            assert batch_size == 64 or batch_size == buckets[-1], (
+            assert batch_size is None or batch_size == buckets[-1], (
                 "pass the batch via buckets (largest bucket) or keep them equal"
             )
             batch_size = buckets[-1]
+        batch_size = batch_size or 64
         self.buckets = buckets or (batch_size,)
         self.batch_size = batch_size
         if mesh is not None:
@@ -243,7 +244,7 @@ class CrossHostServingEngine:
         self,
         engine,
         mesh,
-        global_batch: int = 64,
+        global_batch: Optional[int] = None,
         tick_ms: float = 5.0,
         image_shape=None,
         image_dtype=np.uint8,
@@ -262,8 +263,9 @@ class CrossHostServingEngine:
         nproc = jax.process_count()
         if buckets:
             buckets = tuple(sorted(set(int(b) for b in buckets)))
-            assert global_batch == 64 or global_batch == buckets[-1]
+            assert global_batch is None or global_batch == buckets[-1]
             global_batch = buckets[-1]
+        global_batch = global_batch or 64
         self.buckets = buckets or (global_batch,)
         assert all(b % nproc == 0 for b in self.buckets), (self.buckets, nproc)
         d = dict(mesh.shape)["data"]

@@ -296,12 +296,22 @@ def int_forward_tp(model, plan, int_params, x, mesh: Mesh, cfg=None, axis: str =
     collectives (see module docstring).  `x` is the conditioned input as for
     int_forward; int_params the baked {w:int8, b:int32[+b_zp]} pytree (the
     b_zp entries are ignored -- compensation is recomputed shard-locally)."""
+    import numpy as np
+
     cfg = cfg or model.cfg
     modes = tp_modes(model)
     nshard = mesh.shape[axis]
     pspecs = tp_param_specs(model, modes, axis)
+    # bias-less layers (LinearSpec(bias=False)) bake no 'b'; the walker adds
+    # p['b'] unconditionally, so substitute zeros of the out dimension
     params = {
-        name: {"w": entry["w"], "b": entry["b"]} for name, entry in int_params.items()
+        name: {
+            "w": entry["w"],
+            "b": entry.get(
+                "b", np.zeros((np.shape(entry["w"])[-1],), np.int32)
+            ),
+        }
+        for name, entry in int_params.items()
     }
 
     def body(xb, pb):

@@ -244,13 +244,15 @@ def _jpeg_lib():
     return lib
 
 
-def c_decode_jpeg_batch(blobs, denoms=None, num_threads: int = 4):
+def c_decode_jpeg_batch(blobs, denoms=None, num_threads: int = 4, dims=None):
     """Decode a batch of JPEG byte strings across native threads (GIL-free).
 
     blobs: list of bytes.  denoms: optional per-image DCT scale denominator
-    in {1,2,4,8} (libjpeg scaled decode; the fast_decode path).  Returns a
-    list of uint8 HWC RGB arrays, with None for images the native decoder
-    cannot handle (progressive CMYK etc. -- caller falls back to PIL)."""
+    in {1,2,4,8} (libjpeg scaled decode; the fast_decode path).  dims:
+    optional [(w, h, ok)] from a prior c_jpeg_dims_batch with the SAME
+    denoms -- skips the second header parse per image.  Returns a list of
+    uint8 HWC RGB arrays, with None for images the native decoder cannot
+    handle (progressive CMYK etc. -- caller falls back to PIL)."""
     lib = _jpeg_lib()
     n = len(blobs)
     if n == 0:
@@ -262,10 +264,16 @@ def c_decode_jpeg_batch(blobs, denoms=None, num_threads: int = 4):
     ptrs = (u8p * n)(*[b.ctypes.data_as(u8p) for b in bufs])
     sizes = (ctypes.c_long * n)(*[len(b) for b in blobs])
     dn = np.ascontiguousarray(denoms, np.int32)
-    ws = np.zeros(n, np.int32)
-    hs = np.zeros(n, np.int32)
-    oks = np.zeros(n, np.int32)
-    lib.jpeg_dims_batch(ptrs, sizes, n, dn.ravel(), ws, hs, oks)
+    if dims is not None:
+        assert len(dims) == n
+        ws = np.asarray([d[0] for d in dims], np.int32)
+        hs = np.asarray([d[1] for d in dims], np.int32)
+        oks = np.asarray([int(d[2]) for d in dims], np.int32)
+    else:
+        ws = np.zeros(n, np.int32)
+        hs = np.zeros(n, np.int32)
+        oks = np.zeros(n, np.int32)
+        lib.jpeg_dims_batch(ptrs, sizes, n, dn.ravel(), ws, hs, oks)
     outs = [
         np.empty((int(hs[i]), int(ws[i]), 3), np.uint8) if oks[i] else None
         for i in range(n)

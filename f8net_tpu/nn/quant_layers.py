@@ -380,7 +380,14 @@ def conv_bn_apply(
     w = _conv_weight_rescale(cfg, spec, p["w"]) * spec.avgpool_scale
 
     # --- BatchNorm statistics -------------------------------------------------
-    conv = _conv2d_bf16 if (training and cfg.train_conv_bf16) else _conv2d
+    # (train_conv_bf16 never applies to the plain-FP32 baseline: its
+    # operands are not on quantization grids, and the baseline's contract
+    # is full f32)
+    conv = (
+        _conv2d_bf16
+        if (training and cfg.train_conv_bf16 and not cfg.floating_wo_clip)
+        else _conv2d
+    )
     if training:
         if cfg.floating_wo_clip:
             y0 = conv(x_val, w, spec)
