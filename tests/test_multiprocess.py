@@ -64,3 +64,37 @@ def test_two_process_dp_train_step(tmp_path):
         assert res["world"] == NPROCS
         assert res["devices"] == 2 * NPROCS  # 2 virtual devices per process
         assert res["cos"] > 0.999
+
+
+def test_two_process_tp_engine():
+    """The explicit-collective TP engine with the model axis spanning two OS
+    processes: every block psum crosses the process boundary and the logits
+    stay bitwise-equal to single-device (tests/_tp_worker.py)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    worker = os.path.join(ROOT, "tests", "_tp_worker.py")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), str(NPROCS)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=ROOT,
+        )
+        for pid in range(NPROCS)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:  # exact-PID cleanup only
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"tp worker {pid} failed:\n{out[-4000:]}"
+        assert f"tp worker {pid}: ok" in out
