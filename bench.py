@@ -61,11 +61,20 @@ def _backend_or_die(deadline_s: int):
     import threading
 
     def _die():
-        print(
-            json.dumps({"error": "TPU backend init exceeded deadline",
-                        "deadline_s": deadline_s}),
-            file=sys.stderr, flush=True,
+        # one parseable line on BOTH streams: the driver records stdout, so
+        # an infrastructure outage must not read as "no benchmark output"
+        line = json.dumps(
+            {
+                "metric": "bench_unavailable_tpu_backend_init_timeout",
+                "value": 0,
+                "unit": "error",
+                "vs_baseline": 0,
+                "error": "TPU backend init exceeded deadline (relay down?)",
+                "deadline_s": deadline_s,
+            }
         )
+        print(line, flush=True)
+        print(line, file=sys.stderr, flush=True)
         os._exit(3)
 
     watchdog = threading.Timer(deadline_s, _die)

@@ -1,0 +1,122 @@
+"""Pipeline-parallel integer engine (engine/pp_engine.py): GPipe schedule
+over a 'pipe' mesh axis must be BIT-EQUAL to the single-device engine for
+every family and stage count (the stages run the unmodified _Walker code on
+full tensors; only byte-preserving bitcasts and ppermute moves are new)."""
+
+import jax
+import numpy as np
+import pytest
+
+from f8net_tpu.engine import IntEngine
+from f8net_tpu.engine.pp_engine import (
+    PPEngine,
+    build_units,
+    make_pipe_mesh,
+    stage_bounds,
+)
+from f8net_tpu.models import get_model
+from f8net_tpu.quant import bake_plan
+from f8net_tpu.utils import QuantConfig
+
+from test_tp_engine import CFG, _baked
+
+
+@pytest.mark.parametrize(
+    "name,stages,micro",
+    [
+        ("resnet18", 2, 4),
+        ("resnet18", 4, 8),
+        ("mobilenet_v1", 4, 8),
+        ("mobilenet_v2", 4, 8),
+        ("resnet50", 2, 4),
+    ],
+)
+def test_pp_engine_bitexact_vs_single_device(name, stages, micro):
+    model, plan, ip, x = _baked(name)
+    eng = IntEngine(model, plan, ip)
+    xi = eng.condition_input(x)
+    ref = np.asarray(eng(xi))
+
+    mesh = make_pipe_mesh(stages)
+    pp = PPEngine(model, plan, ip, mesh, microbatches=micro)
+    out = np.asarray(pp(xi))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pp_engine_normalized_pipeline():
+    """Signed (double-side) head input crosses the wire as int8 with no
+    zero-point; exercises the symmetric pack in stage 0."""
+    cfg = CFG.replace(normalize=True)
+    model = get_model("resnet18", cfg, num_classes=16, image_size=32)
+    params, state = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    for _ in range(2):
+        _, state = model.apply(params, state, x, mode="train")
+    plan, ip = bake_plan(model, params, state)
+    eng = IntEngine(model, plan, ip)
+    xi = eng.condition_input(x)
+    ref = np.asarray(eng(xi))
+
+    pp = PPEngine(model, plan, ip, make_pipe_mesh(2), microbatches=4, cfg=cfg)
+    out = np.asarray(pp(xi))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pp_engine_float_avgpool_path():
+    """quant_avgpool=False: the final unit takes the float-mean fallback."""
+    cfg = QuantConfig(
+        format_from_metric=True, metric="std", quant_bias=True,
+        quant_avgpool=False, pool_fusing=True,
+    )
+    model = get_model("resnet18", cfg, num_classes=16, image_size=32)
+    params, state = model.init(jax.random.PRNGKey(2))
+    x = (
+        np.round(
+            255
+            * np.asarray(
+                jax.random.uniform(jax.random.PRNGKey(3), (8, 32, 32, 3))
+            )
+        )
+        / 256
+    )
+    for _ in range(2):
+        _, state = model.apply(params, state, x, mode="train")
+    plan, ip = bake_plan(model, params, state)
+    eng = IntEngine(model, plan, ip)
+    xi = eng.condition_input(x)
+    ref = np.asarray(eng(xi))
+
+    pp = PPEngine(model, plan, ip, make_pipe_mesh(2), microbatches=4, cfg=cfg)
+    out = np.asarray(pp(xi))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_stage_bounds_partition():
+    for n, s in [(10, 2), (10, 4), (7, 3), (5, 5)]:
+        b = stage_bounds(n, s)
+        assert b[0][0] == 0 and b[-1][1] == n
+        assert all(x[1] == y[0] for x, y in zip(b, b[1:]))
+        assert all(e > a for a, e in b)
+
+
+def test_units_cover_all_layers():
+    """Every layer's params are read by exactly the units of one stage set;
+    the union covers the whole graph."""
+    for name in ("resnet18", "mobilenet_v1", "mobilenet_v2"):
+        model, plan, ip, _ = _baked(name, n=4)
+        units, layer_sets = build_units(model, plan, CFG)
+        assert len(units) == len(layer_sets)
+        union = set().union(*layer_sets)
+        assert union == set(model.graph.names()), name
+
+
+def test_pp_weights_are_stage_local():
+    """The packed parameter stack is sharded over the pipe axis: each device
+    holds one stage's blob only."""
+    model, plan, ip, x = _baked("resnet18", n=4)
+    mesh = make_pipe_mesh(4)
+    pp = PPEngine(model, plan, ip, mesh, microbatches=4)
+    shard_shapes = {
+        s.data.shape for s in pp._pstack.addressable_shards
+    }
+    assert shard_shapes == {(1, pp._pstack.shape[1])}
