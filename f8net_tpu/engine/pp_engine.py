@@ -184,18 +184,26 @@ class PPEngine:
         eng = PPEngine(model, plan, int_params, mesh, microbatches=8)
         logits = eng(x)          # x: conditioned int input, B % 8 == 0
 
+    Composes with data parallelism: on a 2-D Mesh(('data','pipe')) pass
+    data_axis='data' and each data shard runs the same pipeline over its
+    slice of every microbatch (weights replicated over 'data', stage-local
+    over 'pipe'; the ppermute ring and final psum stay pipe-only).
+
     Output is bit-equal to engine.IntEngine on the same inputs.
     """
 
     def __init__(
         self, model, plan, int_params, mesh: Mesh, microbatches: int,
         axis: str = "pipe", cfg=None, bounds=None, maxpool_impl: str = "single",
+        data_axis: str | None = None,
     ):
         self.model = model
         self.plan = plan
         self.cfg = cfg or model.cfg
         self.mesh = mesh
         self.axis = axis
+        self.data_axis = data_axis
+        self.D = int(mesh.shape[data_axis]) if data_axis else 1
         self.M = int(microbatches)
         self.S = int(mesh.shape[axis])
         units, layer_sets = build_units(model, plan, self.cfg, maxpool_impl)
@@ -295,7 +303,10 @@ class PPEngine:
     # -- the pipelined program ----------------------------------------------
 
     def _program(self, mb, hw, in_dtype):
+        # mb is the per-data-shard microbatch size: all boundary metadata and
+        # stage bodies trace at local shapes (shard_map is per-device code)
         S, M, axis = self.S, self.M, self.axis
+        vaxes = (axis, self.data_axis) if self.data_axis else (axis,)
         metas, logit_struct = self._trace_boundaries(mb, hw, in_dtype)
         ncls = logit_struct.shape[-1]
         maxbytes = max(
@@ -313,7 +324,7 @@ class PPEngine:
                 a = self._run_stage(s, params, x, meta)
                 # every branch's outputs must carry the same "varies over
                 # pipe" type for lax.switch -- pcast the constant halves
-                vary = lambda v: lax.pcast(v, axis, to="varying")
+                vary = lambda v: lax.pcast(v, vaxes, to="varying")
                 if s == S - 1:
                     return vary(jnp.zeros((maxbytes,), jnp.int8)), a
                 return _enc(a.x, maxbytes), vary(
@@ -344,30 +355,34 @@ class PPEngine:
                 return (nxt, acc), None
 
             init = (
-                lax.pcast(jnp.zeros((maxbytes,), jnp.int8), axis, to="varying"),
+                lax.pcast(jnp.zeros((maxbytes,), jnp.int8), vaxes, to="varying"),
                 lax.pcast(
-                    jnp.zeros((M + 1, mb, ncls), jnp.float32), axis, to="varying"
+                    jnp.zeros((M + 1, mb, ncls), jnp.float32), vaxes, to="varying"
                 ),
             )
             (_, acc), _ = lax.scan(tick, init, jnp.arange(M + S - 1))
-            return lax.psum(acc[:M], axis).reshape(M * mb, ncls)
+            return lax.psum(acc[:M], axis)
 
+        dspec = P(None, self.data_axis) if self.data_axis else P()
         fn = shard_map(
-            body, mesh=self.mesh, in_specs=(P(), P(axis)), out_specs=P()
+            body, mesh=self.mesh, in_specs=(dspec, P(axis)), out_specs=dspec
         )
         return jax.jit(fn)
 
     def __call__(self, x):
         """x: conditioned integer input [B, H, W, C] (as for IntEngine),
-        B divisible by `microbatches`."""
+        B divisible by `microbatches` (and the microbatch by the data-axis
+        size)."""
         b = x.shape[0]
         assert b % self.M == 0, (b, self.M)
         mb = b // self.M
+        assert mb % self.D == 0, (mb, self.D)
         key = (mb, x.shape[1:], jnp.dtype(x.dtype).name)
         if key not in self._programs:
-            self._programs[key] = self._program(mb, x.shape[1:], x.dtype)
+            self._programs[key] = self._program(mb // self.D, x.shape[1:], x.dtype)
         stream = x.reshape((self.M, mb) + x.shape[1:])
-        return self._programs[key](stream, self._pstack)
+        out = self._programs[key](stream, self._pstack)
+        return out.reshape(self.M * mb, out.shape[-1])
 
 
 def make_pipe_mesh(n_stages: int, devices=None) -> Mesh:

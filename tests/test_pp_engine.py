@@ -91,6 +91,24 @@ def test_pp_engine_float_avgpool_path():
     np.testing.assert_array_equal(out, ref)
 
 
+def test_pp_engine_composes_with_data_axis():
+    """2-D Mesh(('data','pipe')): each data shard pipelines its slice of
+    every microbatch; still bit-equal to the single-device engine."""
+    from jax.sharding import Mesh
+
+    model, plan, ip, x = _baked("resnet18")
+    eng = IntEngine(model, plan, ip)
+    xi = eng.condition_input(x)
+    ref = np.asarray(eng(xi))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "pipe"))
+    pp = PPEngine(
+        model, plan, ip, mesh, microbatches=4, data_axis="data"
+    )
+    out = np.asarray(pp(xi))
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_stage_bounds_partition():
     for n, s in [(10, 2), (10, 4), (7, 3), (5, 5)]:
         b = stage_bounds(n, s)
