@@ -146,6 +146,14 @@ class Trainer:
                 new_state, metrics = self.eval_step(params, state, images, labels)
                 del new_state  # eval leaves state untouched
             nb += 1
+            if self.tcfg.print_each_iter:
+                # per-iteration error lines (fix_train.py:714-715); costs a
+                # host sync per batch, so it is opt-in like the reference
+                bn = float(metrics["n"])
+                for k in self.tcfg.topk:
+                    self.log(
+                        f"top{k} err: {1.0 - float(metrics[f'top{k}']) / bn}."
+                    )
             # accumulate on device (async dispatch); one host sync per epoch,
             # not per batch -- per-batch float() costs a full round trip on
             # relay-attached hosts

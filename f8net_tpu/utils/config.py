@@ -93,6 +93,8 @@ class TrainConfig:
     image_size: int = 224
     topk: Tuple[int, ...] = (1, 5)
     test_only: bool = False
+    # per-iteration top-k error printing (fix_train.py:714-715)
+    print_each_iter: bool = False
 
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)

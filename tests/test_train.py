@@ -109,6 +109,25 @@ def test_trainer_overfits_tiny_batch():
     assert "top1_error" in res
 
 
+def test_print_each_iter_logs_topk_lines():
+    """print_each_iter emits a per-iteration top-k error line per batch
+    (fix_train.py:714-715)."""
+    tcfg = TrainConfig(
+        num_epochs=1, batch_size=4, lr=0.0, lr_scheduler="constant",
+        topk=(1,), num_classes=10, print_each_iter=True,
+    )
+    model = get_model("resnet18", CFG, num_classes=10)
+    lines = []
+    tr = Trainer(model, CFG, tcfg, log=lines.append)
+    params, state, opt = tr.init(jax.random.PRNGKey(0))
+    batches = _loader(jax.random.PRNGKey(1), 3)
+    tr.run_epoch(params, state, opt, batches, 0, 3, "val")
+    iter_lines = [l for l in lines if l.startswith("top1 err: ")]
+    assert len(iter_lines) == 3, lines
+    # the printed value is an error rate in [0, 1]
+    assert all(0.0 <= float(l.split(": ")[1].rstrip(".")) <= 1.0 for l in iter_lines)
+
+
 def test_finetune_iters_cap():
     tcfg = TrainConfig(num_epochs=1, batch_size=4, lr=0.0, lr_scheduler="constant",
                        finetune_iters=1, topk=(1,))
