@@ -803,8 +803,14 @@ def _forward(
             ):
                 # fused Pallas stem: conv+bias+relu+maxpool in one pass,
                 # writing only the pooled int32 activation
-                # (ops/pallas_stem.py); mirror pack_for's wire requant
-                from ..ops.pallas_stem import build_stem_inputs, stem_pool_int8
+                # (ops/pallas_stem.py); mirror pack_for's wire requant.
+                # v2 (default) pre-expands the x-taps into lane-aligned
+                # bands so the kernel needs no narrow scratch stores (v1
+                # measured 0.24x at model level); F8NET_STEM_IMPL=v1 keeps
+                # the original for A/B.
+                import os as _os
+
+                from ..ops import pallas_stem as _ps
 
                 v = shift_requant(
                     x.astype(jnp.int32), 8, head_pl.input_fl, a.fl,
@@ -812,14 +818,24 @@ def _forward(
                 )
                 zp = 0 if head_pl.input_symmetric else 128
                 v8 = (v - zp).astype(jnp.int8)
-                be, bo, w192, comp = build_stem_inputs(
-                    v8, int_params["head"]["w"], conv_h=x.shape[1] // 2,
-                    zero_point=zp,
-                )
-                pooled = stem_pool_int8(
-                    be, bo, w192, int_params["head"]["b"] + comp,
-                    conv_h=x.shape[1] // 2, valid_w=x.shape[1] // 4,
-                )
+                if _os.environ.get("F8NET_STEM_IMPL", "v2") == "v2":
+                    be, bo, w256, comp = _ps.build_stem_inputs_v2(
+                        v8, int_params["head"]["w"], conv_h=x.shape[1] // 2,
+                        zero_point=zp,
+                    )
+                    pooled = _ps.stem_pool_int8_v2(
+                        be, bo, w256, int_params["head"]["b"] + comp,
+                        conv_h=x.shape[1] // 2, valid_w=x.shape[1] // 4,
+                    )
+                else:
+                    be, bo, w192, comp = _ps.build_stem_inputs(
+                        v8, int_params["head"]["w"], conv_h=x.shape[1] // 2,
+                        zero_point=zp,
+                    )
+                    pooled = _ps.stem_pool_int8(
+                        be, bo, w192, int_params["head"]["b"] + comp,
+                        conv_h=x.shape[1] // 2, valid_w=x.shape[1] // 4,
+                    )
                 a = IAct(pooled, head_pl.out_fl)
             else:
                 a = w.relu_i32(w.conv_int("head", a))

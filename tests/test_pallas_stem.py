@@ -7,7 +7,17 @@ import numpy as np
 import pytest
 from jax import lax
 
-from f8net_tpu.ops.pallas_stem import build_stem_inputs, stem_pool_int8
+from f8net_tpu.ops.pallas_stem import (
+    build_stem_inputs,
+    build_stem_inputs_v2,
+    stem_pool_int8,
+    stem_pool_int8_v2,
+)
+
+IMPLS = {
+    "v1": (build_stem_inputs, stem_pool_int8),
+    "v2": (build_stem_inputs_v2, stem_pool_int8_v2),
+}
 
 
 def _ref_stem(v8, w, bias):
@@ -28,8 +38,9 @@ def _ref_stem(v8, w, bias):
     )
 
 
+@pytest.mark.parametrize("impl", ["v1", "v2"])
 @pytest.mark.parametrize("size,unsigned", [(112, True), (224, True), (112, False)])
-def test_stem_pool_bitexact(size, unsigned):
+def test_stem_pool_bitexact(size, unsigned, impl):
     rng = np.random.RandomState(size)
     if unsigned:
         u8 = rng.randint(0, 256, (2, size, size, 3))
@@ -45,10 +56,9 @@ def test_stem_pool_bitexact(size, unsigned):
 
     ref = _ref_stem(xv, w, bias)
 
-    be, bo, w192, comp = build_stem_inputs(x8, w, conv_h=size // 2, zero_point=zp)
-    got = stem_pool_int8(
-        be, bo, w192, bias + comp, conv_h=size // 2, valid_w=size // 4
-    )
+    build, pool = IMPLS[impl]
+    be, bo, wk, comp = build(x8, w, conv_h=size // 2, zero_point=zp)
+    got = pool(be, bo, wk, bias + comp, conv_h=size // 2, valid_w=size // 4)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
@@ -92,10 +102,14 @@ def test_stem_matches_engine_head_pipeline():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
-def test_engine_stem_kernel_bitexact():
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_engine_stem_kernel_bitexact(impl, monkeypatch):
     """IntEngine(stem_kernel=True) must be bit-equal to the default engine
-    on ResNet18 end-to-end (both pipelines, unnormalized + normalized)."""
+    on ResNet18 end-to-end (both pipelines, unnormalized + normalized),
+    with either stem kernel implementation."""
     import jax
+
+    monkeypatch.setenv("F8NET_STEM_IMPL", impl)
     from f8net_tpu.engine import IntEngine
     from f8net_tpu.models import get_model
     from f8net_tpu.quant import bake_plan
