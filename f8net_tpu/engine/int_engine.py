@@ -21,6 +21,8 @@ and requant amounts are Python ints resolved at trace time.
 from __future__ import annotations
 
 import functools
+import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -735,7 +737,7 @@ def int_forward(
     model, plan, int_params, x, cfg=None,
     int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
     border_bias: bool = False, maxpool_impl: str = "single",
-    stem_kernel: bool = False, stem_s2d: bool = False,
+    stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
 ):
     """Integer-only forward.  `x` is the conditioned uint8-range input:
     round(255*image) as int32 (unnormalized pipeline, fraclen 8), or the
@@ -744,7 +746,7 @@ def int_forward(
         model, plan, int_params, x, cfg,
         int_only=True, int8_operands=int8_operands, use_pallas=use_pallas,
         f32_taps=f32_taps, border_bias=border_bias, maxpool_impl=maxpool_impl,
-        stem_kernel=stem_kernel, stem_s2d=stem_s2d,
+        stem_kernel=stem_kernel, stem_s2d=stem_s2d, stem_impl=stem_impl,
     )
 
 
@@ -774,7 +776,7 @@ def _forward(
     model, plan, int_params, x, cfg, int_only: bool,
     int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
     border_bias: bool = False, maxpool_impl: str = "single",
-    stem_kernel: bool = False, stem_s2d: bool = False,
+    stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
 ):
     cfg = cfg or model.cfg
     w = _Walker(
@@ -806,10 +808,10 @@ def _forward(
                 # (ops/pallas_stem.py); mirror pack_for's wire requant.
                 # v2 (default) pre-expands the x-taps into lane-aligned
                 # bands so the kernel needs no narrow scratch stores (v1
-                # measured 0.24x at model level); F8NET_STEM_IMPL=v1 keeps
-                # the original for A/B.
-                import os as _os
-
+                # measured 0.24x at model level); stem_impl='v1' keeps the
+                # original for A/B (an explicit argument, so each setting
+                # gets its own trace — env vars read at trace time are not
+                # part of the jit cache key).
                 from ..ops import pallas_stem as _ps
 
                 v = shift_requant(
@@ -818,7 +820,7 @@ def _forward(
                 )
                 zp = 0 if head_pl.input_symmetric else 128
                 v8 = (v - zp).astype(jnp.int8)
-                if _os.environ.get("F8NET_STEM_IMPL", "v2") == "v2":
+                if stem_impl == "v2":
                     be, bo, w256, comp = _ps.build_stem_inputs_v2(
                         v8, int_params["head"]["w"], conv_h=x.shape[1] // 2,
                         zero_point=zp,
@@ -934,7 +936,12 @@ class IntEngine:
         maxpool_impl: str = "single",
         stem_kernel: bool = False,
         stem_s2d: bool = False,
+        stem_impl: Optional[str] = None,
     ):
+        if stem_impl is None:
+            # read once at construction so post-compile env flips can't
+            # silently keep a stale impl (the jit cache key carries it)
+            stem_impl = os.environ.get("F8NET_STEM_IMPL", "v2")
         self.model = model
         self.plan = plan
         self.cfg = cfg or model.cfg
@@ -949,7 +956,7 @@ class IntEngine:
                 lambda p, xx: int_forward(
                     self.model, self.plan, p, xx, self.cfg, int8_operands,
                     use_pallas, f32_taps, border_bias, maxpool_impl,
-                    stem_kernel, stem_s2d,
+                    stem_kernel, stem_s2d, stem_impl,
                 )
             )
         else:

@@ -273,6 +273,9 @@ def stem_pool_int8_v2(
     out_h = conv_h // 2
     p = _pick_p(out_h)
     blocks = out_h // p
+    # Bands must carry enough REAL rows for every unmasked conv row; the
+    # tail padding below only feeds pad-masked rows (same contract as v1).
+    assert rows >= 2 * p * blocks + 4, (rows, p, blocks)
     nblocks_needed = blocks + 1
     rows_needed = nblocks_needed * 2 * p
     if rows < rows_needed:

@@ -36,6 +36,75 @@ PUBLISHED = {
 
 MODES = ("qat_sim", "int_infer", "integize", "int_op_only")
 
+# The reference bundles golden per-layer fraclen profiles of its trained
+# models (fraclen_visual/*.out training logs).  When a checkpoint run matches
+# one of these rows, the harness diffs the baked plan against the profile.
+REF_FRACLEN_DIR = "/root/reference/fraclen_visual"
+GOLDEN_PROFILES = {
+    ("mobilenet_v2", "conventional"): "mbv2_fix_quant.out",
+    ("resnet50", "tiny_finetuning"): "res50_fix_quant_ptcv_pretrained.out",
+    ("resnet50", "nvidia"): "res50_fix_quant_nvidia_pretrained.out",
+}
+
+
+def _ref_layer_to_ours(name: str) -> str:
+    # the reference names sequential wrappers head.0 / tail.0 / classifier.0
+    for stem in ("head", "tail", "classifier"):
+        if name == f"{stem}.0":
+            return stem
+    return name
+
+
+def check_golden_fraclens(model, plan, profile_text: str):
+    """Diff a baked QuantPlan against a reference per-layer fraclen profile
+    (the fraclen_visual/*.out dump vocabulary, fix_train.py:971-991).
+
+    Returns (rows, n_mismatch) where each row is
+    (layer, want_input_fl, want_weight_fl, got_input_fl, got_weight_fl, ok).
+    Weight-only layers consume fraclen-8 raw input regardless of their
+    dormant EMA buffer (reference get_input_fraclen; nn/quant_layers.py
+    input_fraclen), so their expected input_fl is pinned to 8."""
+    from .utils.reporting import parse_fraclen_report
+
+    parsed = parse_fraclen_report(profile_text)
+    names = set(model.graph.names())
+    rows = []
+    for ref_name, d in parsed.items():
+        ours = _ref_layer_to_ours(ref_name)
+        if ours not in names:
+            rows.append((ours, None, None, None, None, False))
+            continue
+        lp = plan[ours]
+        if model.graph[ours].weight_only:
+            want_in = 8
+        else:
+            want_in = (
+                int(round(d["input_fraclen"][0])) if d.get("input_fraclen") else None
+            )
+        want_w = (
+            int(round(d["weight_fraclen"][0])) if d.get("weight_fraclen") else None
+        )
+        ok = (want_in is None or lp.input_fl == want_in) and (
+            want_w is None or lp.weight_fl == want_w
+        )
+        rows.append((ours, want_in, want_w, lp.input_fl, lp.weight_fl, ok))
+    return rows, sum(1 for r in rows if not r[5])
+
+
+def print_fraclen_table(rows, n_mismatch, profile_name=""):
+    print(f"\n== golden fraclen check vs {profile_name or 'profile'} ==")
+    print(
+        f"{'layer':28s} {'want in_fl':>10s} {'want w_fl':>9s} "
+        f"{'got in_fl':>9s} {'got w_fl':>8s} {'match':>6s}"
+    )
+    for name, wi, ww, gi, gw, ok in rows:
+        fmt = lambda v: "-" if v is None else str(v)
+        print(
+            f"{name:28s} {fmt(wi):>10s} {fmt(ww):>9s} {fmt(gi):>9s} "
+            f"{fmt(gw):>8s} {'ok' if ok else 'MISMATCH':>8s}"
+        )
+    print(f"fraclen mismatches: {n_mismatch}/{len(rows)}")
+
 
 def _topk_counts(logits, labels, ks=(1, 5)):
     order = np.argsort(-np.asarray(logits), axis=-1)
@@ -54,8 +123,10 @@ def evaluate_parity(
     image_size: int = 224,
     num_classes: int = 1000,
     seed: int = 0,
+    fraclen_profile: str = "",
 ) -> Dict[str, Dict[str, float]]:
-    """Returns {mode: {top1, top5}} accuracies (percent)."""
+    """Returns ({mode: {top1, top5}} accuracies (percent), total images,
+    golden-fraclen diff rows or None)."""
     import jax
 
     from .data import ImageFolderDataset, Loader, SyntheticDataset
@@ -70,9 +141,10 @@ def evaluate_parity(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "configs", "imagenet", model_name,
         "tiny_finetuning" if variant in ("tiny_finetuning", "nvidia") else variant,
-        "fix_quant_ptcv_pretrained_test.yml"
-        if variant in ("tiny_finetuning", "nvidia")
-        else "fix_quant_test.yml",
+        {
+            "tiny_finetuning": "fix_quant_ptcv_pretrained_test.yml",
+            "nvidia": "fix_quant_nvidia_pretrained_test.yml",
+        }.get(variant, "fix_quant_test.yml"),
     )
     cfg, tcfg, extras = from_flags(load_yaml(cfg_path), batch_size)
     model = get_model(model_name, cfg, num_classes=num_classes, image_size=image_size)
@@ -109,6 +181,18 @@ def evaluate_parity(
     )
 
     plan, int_params = bake_plan(model, params, state)
+
+    fraclen_check = None
+    if not fraclen_profile and pretrained_file:
+        # auto-pick the reference's bundled golden profile for this row
+        cand = GOLDEN_PROFILES.get((model_name, variant))
+        if cand and os.path.isfile(os.path.join(REF_FRACLEN_DIR, cand)):
+            fraclen_profile = os.path.join(REF_FRACLEN_DIR, cand)
+    if fraclen_profile:
+        with open(fraclen_profile, errors="replace") as f:
+            rows, n_bad = check_golden_fraclens(model, plan, f.read())
+        fraclen_check = (rows, n_bad, os.path.basename(fraclen_profile))
+
     eng_int = IntEngine(model, plan, int_params, int_only=True)
     eng_sim = IntEngine(model, plan, int_params, int_only=False)
     cfg_ii = cfg.replace(int_infer=True)
@@ -137,7 +221,7 @@ def evaluate_parity(
     return {
         m: {"top1": 100.0 * c[1] / max(total, 1), "top5": 100.0 * c[5] / max(total, 1)}
         for m, c in counts.items()
-    }, total
+    }, total, fraclen_check
 
 
 def print_table(model_name, variant, results, total):
@@ -168,7 +252,7 @@ def main(argv=None):
     model_name = kv["model"]
     variant = kv.get("variant", "conventional")
     synthetic = kv.get("dataset") == "synthetic"
-    results, total = evaluate_parity(
+    results, total, fraclen_check = evaluate_parity(
         model_name,
         variant,
         pretrained_file=kv.get("pretrained_file", ""),
@@ -178,8 +262,11 @@ def main(argv=None):
         limit_batches=int(kv["limit"]) if "limit" in kv else (2 if synthetic else None),
         image_size=int(kv.get("image_size", 224)),
         num_classes=int(kv.get("num_classes", 1000 if not synthetic else 16)),
+        fraclen_profile=kv.get("fraclen_profile", ""),
     )
     print_table(model_name, variant, results, total)
+    if fraclen_check is not None:
+        print_fraclen_table(*fraclen_check)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,189 @@
+"""Memory-bound operating points: int8 engine vs bf16 baseline as batch grows.
+
+VERDICT r2 item 1: the int8 engine's remaining value claim on ONE chip is
+bandwidth/memory (1-byte activations + int8 weights + uint8 wire input =
+~4x smaller footprint), so measure the operating points where that should
+matter:
+
+  (a) batch sweep until each engine OOMs -- max feasible batch and img/s
+      at every point (int8 sustains larger batches; if its peak img/s
+      passes bf16's peak anywhere, that IS the match-or-beat);
+  (b) HBM footprint per point from the compiled executable's
+      memory_analysis (arguments / outputs / temps / generated code);
+  (c) weight-bytes table (exact, from the param trees).
+
+Run on the chip:
+
+    python scripts/memory_sweep.py resnet18 --batches 1024,2048,4096,8192
+    python scripts/memory_sweep.py mobilenet_v2 --batches 256,1024,2048,4096
+
+Each point prints one JSON line (machine-collectable); a final summary
+gives peak img/s per engine and the peak-vs-peak ratio.  Uses the repo
+compile cache (.jax_cache) -- cold compiles through the relay are 5-10 min
+each, warm are seconds.  Timings are interleaved per batch point so relay
+drift cancels within a point; the peak-vs-peak ratio compares medians
+taken in one session.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _is_oom(e: Exception) -> bool:
+    s = str(e)
+    return "RESOURCE_EXHAUSTED" in s or "Out of memory" in s or "out of memory" in s
+
+
+def _mem_fields(compiled):
+    try:
+        m = compiled.memory_analysis()
+        return {
+            "arg_bytes": getattr(m, "argument_size_in_bytes", None),
+            "out_bytes": getattr(m, "output_size_in_bytes", None),
+            "temp_bytes": getattr(m, "temp_size_in_bytes", None),
+            "code_bytes": getattr(m, "generated_code_size_in_bytes", None),
+        }
+    except Exception:
+        return {}
+
+
+def _time(fn, x, iters, warmup=1):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(x))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(x)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def tree_bytes(tree) -> int:
+    return sum(
+        v.size * jnp.dtype(v.dtype).itemsize
+        for e in tree.values()
+        for v in e.values()
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model", nargs="?", default="resnet18")
+    ap.add_argument("--batches", default="1024,2048,4096,8192,16384")
+    ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--rounds", type=int, default=3)
+    args = ap.parse_args()
+
+    from f8net_tpu.engine import IntEngine
+    from f8net_tpu.engine.baseline import plain_forward, plain_params
+    from f8net_tpu.models import get_model
+    from f8net_tpu.quant import bake_plan
+    from f8net_tpu.utils import QuantConfig
+
+    cfg = QuantConfig(
+        format_from_metric=True, metric="std", quant_bias=True,
+        quant_avgpool=True, pool_fusing=True,
+    )
+    model = get_model(args.model, cfg, num_classes=1000, image_size=args.image_size)
+    params, state = model.init(jax.random.PRNGKey(0))
+    plan, int_params = bake_plan(model, params, state)
+
+    eng = IntEngine(model, plan, int_params, int_only=True)
+    fparams = plain_params(model, int_params)
+    bf16 = jax.jit(lambda v: plain_forward(model, fparams, v))
+
+    w_int8 = tree_bytes(eng.int_params)
+    w_bf16 = tree_bytes(fparams)
+    print(
+        json.dumps(
+            {
+                "model": args.model, "kind": "weights",
+                "int8_weight_bytes": w_int8, "bf16_weight_bytes": w_bf16,
+                "ratio": round(w_bf16 / max(w_int8, 1), 3),
+            }
+        ),
+        flush=True,
+    )
+
+    hw = args.image_size
+    results = {"int8": [], "bf16": []}
+    dead = set()
+    for b in [int(s) for s in args.batches.split(",")]:
+        # wire-honest inputs: uint8 for the int8 engine (condition_input's
+        # unnormalized dtype), bf16 for the baseline
+        x8 = jnp.asarray(
+            jax.random.randint(jax.random.PRNGKey(b), (b, hw, hw, 3), 0, 256),
+            jnp.uint8,
+        )
+        xb = (x8.astype(jnp.float32) / 256.0).astype(jnp.bfloat16)
+        pts = {}
+        for name, fn, x in (("int8", eng, x8), ("bf16", bf16, xb)):
+            if name in dead:
+                continue
+            try:
+                if name == "bf16":
+                    compiled = fn.lower(x).compile()
+                    mem = _mem_fields(compiled)
+                    run = fn
+                else:
+                    mem = {}
+                    run = fn  # IntEngine wraps its own jit
+                ts = []
+                for _ in range(args.rounds):
+                    ts.append(_time(run, x, max(args.iters // args.rounds, 2)))
+                t = sorted(ts)[len(ts) // 2]
+                pt = {
+                    "model": args.model, "kind": "point", "engine": name,
+                    "batch": b, "img_per_s": round(b / t, 1),
+                    "ms": round(t * 1e3, 2), **mem,
+                }
+                results[name].append(pt)
+                pts[name] = pt
+                print(json.dumps(pt), flush=True)
+            except Exception as e:
+                if _is_oom(e):
+                    print(
+                        json.dumps(
+                            {
+                                "model": args.model, "kind": "oom",
+                                "engine": name, "batch": b,
+                            }
+                        ),
+                        flush=True,
+                    )
+                    dead.add(name)
+                else:
+                    raise
+        if len(dead) == 2:
+            break
+
+    summary = {"model": args.model, "kind": "summary"}
+    for name in ("int8", "bf16"):
+        if results[name]:
+            best = max(results[name], key=lambda p: p["img_per_s"])
+            summary[f"{name}_peak_img_per_s"] = best["img_per_s"]
+            summary[f"{name}_peak_batch"] = best["batch"]
+            summary[f"{name}_max_batch"] = max(p["batch"] for p in results[name])
+    if results["int8"] and results["bf16"]:
+        summary["peak_vs_peak"] = round(
+            summary["int8_peak_img_per_s"] / summary["bf16_peak_img_per_s"], 3
+        )
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

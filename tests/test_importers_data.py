@@ -125,6 +125,128 @@ def test_nvidia_key_parser():
     assert kinds == ["conv", "bn", "conv", "bn", "conv", "bn", "fc"]
 
 
+def test_torch_pt_file_roundtrip_reference_dialect(tmp_path):
+    """Turnkey real-artifact path: a torch.save'd reference checkpoint
+    ({'model': state_dict} wrapper, torch tensors, DataParallel 'module.'
+    prefixes) loads through load_torch_file -> load_reference_checkpoint."""
+    torch = pytest.importorskip("torch")
+    model = get_model("resnet18", CFG, num_classes=10, image_size=32)
+    rng = np.random.RandomState(4)
+    sd = _fake_reference_ckpt(model, rng)
+    tsd = {f"module.{k}": torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    path = str(tmp_path / "best_model.pt")
+    torch.save({"model": tsd, "optimizer": {}, "last_epoch": 149}, path)
+
+    params, state = load_reference_checkpoint(model, path)
+    lname = model.conv_order[0]
+    want = np.transpose(sd[f"{lname}.0.conv.weight" if lname == "head" else f"{lname}.conv.weight"], (2, 3, 1, 0))
+    np.testing.assert_array_equal(np.asarray(params[lname]["w"]), want)
+    logits, _ = model.apply(params, state, jnp.zeros((1, 32, 32, 3)), mode="eval")
+    assert logits.shape == (1, 10)
+
+
+def test_torch_pt_file_roundtrip_ptcv_dialect(tmp_path):
+    """ptcv-style plain CNN .pt file -> parse_plain_cnn_state_dict ->
+    ordered import (the ptcv_load path, fix_train.py:93-133)."""
+    torch = pytest.importorskip("torch")
+    from f8net_tpu.importers import parse_plain_cnn_state_dict
+
+    model = get_model("resnet18", CFG, num_classes=10, image_size=32)
+    rng = np.random.RandomState(5)
+    sd = {}
+    i = 0
+    for lname in model.conv_order:
+        spec = model.graph[lname]
+        if isinstance(spec, ConvBNSpec):
+            kh, kw = spec.kernel
+            sd[f"features.{i}.conv.weight"] = rng.randn(
+                spec.out_ch, spec.in_ch // spec.groups, kh, kw
+            ).astype(np.float32)
+            sd[f"features.{i}.bn.weight"] = np.ones(spec.out_ch, np.float32)
+            sd[f"features.{i}.bn.bias"] = np.zeros(spec.out_ch, np.float32)
+            sd[f"features.{i}.bn.running_mean"] = np.zeros(spec.out_ch, np.float32)
+            sd[f"features.{i}.bn.running_var"] = np.ones(spec.out_ch, np.float32)
+            sd[f"features.{i}.bn.num_batches_tracked"] = np.int64(7)
+        else:
+            sd["output.weight"] = rng.randn(
+                spec.out_features, spec.in_features
+            ).astype(np.float32)
+            sd["output.bias"] = np.zeros(spec.out_features, np.float32)
+        i += 1
+    path = str(tmp_path / "ptcv.pt")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, path)
+
+    from f8net_tpu.importers.torch_ckpt import load_torch_file
+
+    loaded = load_torch_file(path)
+    entries = parse_plain_cnn_state_dict(loaded)
+    params, state = load_ordered_conv_bn_fc(model, entries)
+    logits, _ = model.apply(params, state, jnp.zeros((1, 32, 32, 3)), mode="eval")
+    assert logits.shape == (1, 10)
+
+
+def test_parity_harness_end_to_end_pt_file_with_golden_fraclens(tmp_path):
+    """The first-real-artifact run, rehearsed: a torch.save'd MobileNetV2
+    reference checkpoint whose input_fraclen buffers carry the bundled
+    golden profile (fraclen_visual/mbv2_fix_quant.out) goes through
+    `evaluate_parity` -- checkpoint import, all four eval modes, AND the
+    golden-fraclen diff, whose input_fl column must match exactly
+    (VERDICT r2 items 7+9)."""
+    import os
+
+    torch = pytest.importorskip("torch")
+    from f8net_tpu.parity import (
+        GOLDEN_PROFILES, REF_FRACLEN_DIR, _ref_layer_to_ours, evaluate_parity,
+    )
+    from f8net_tpu.utils.reporting import parse_fraclen_report
+
+    profile = os.path.join(
+        REF_FRACLEN_DIR, GOLDEN_PROFILES[("mobilenet_v2", "conventional")]
+    )
+    if not os.path.isfile(profile):
+        pytest.skip("reference logs not mounted")
+    with open(profile, errors="replace") as f:
+        golden = parse_fraclen_report(f.read())
+
+    model = get_model("mobilenet_v2", CFG, num_classes=16, image_size=32)
+    rng = np.random.RandomState(6)
+    sd = _fake_reference_ckpt(model, rng)
+    for ref_name, d in golden.items():
+        ours = _ref_layer_to_ours(ref_name)
+        key = f"{ours}.0.input_fraclen" if ours in ("head", "tail", "classifier") else f"{ours}.input_fraclen"
+        if key in sd and d.get("input_fraclen"):
+            sd[key] = np.float32(d["input_fraclen"][0])
+    path = str(tmp_path / "mbv2_best_model.pt")
+    torch.save(
+        {"model": {f"module.{k}": torch.from_numpy(np.atleast_1d(np.asarray(v))) for k, v in sd.items()}},
+        path,
+    )
+
+    results, total, fraclen_check = evaluate_parity(
+        "mobilenet_v2",
+        "conventional",
+        pretrained_file=path,
+        synthetic=True,
+        batch_size=4,
+        limit_batches=1,
+        image_size=32,
+        num_classes=16,
+    )
+    assert total == 4
+    assert results["integize"]["top1"] == results["int_op_only"]["top1"]
+    assert fraclen_check is not None
+    rows, n_bad, name = fraclen_check
+    assert name == "mbv2_fix_quant.out"
+    assert len(rows) == len(golden)
+    # the imported EMA buffers must bake back into the golden input fraclens
+    # for every layer (weight fraclens depend on the random fixture weights)
+    bad_inputs = [
+        r[0] for r in rows
+        if r[1] is not None and r[3] is not None and r[1] != r[3]
+    ]
+    assert bad_inputs == [], bad_inputs
+
+
 def test_data_pipeline_synthetic():
     from f8net_tpu.data import Loader, SyntheticDataset
 

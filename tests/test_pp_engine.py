@@ -138,3 +138,33 @@ def test_pp_weights_are_stage_local():
         s.data.shape for s in pp._pstack.addressable_shards
     }
     assert shard_shapes == {(1, pp._pstack.shape[1])}
+
+
+def test_pp_wire_cost_matches_compiled_hlo():
+    """Cost accounting (VERDICT r2 item 8): the compiled program contains
+    exactly ONE collective-permute per tick, and its operand byte size
+    equals the engine's boundary-trace maximum (the wire pad target)."""
+    import sys, os
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
+    )
+    from pp_cost_accounting import hlo_collective_permute_bytes
+
+    model, plan, ip, x = _baked("resnet18", n=8)
+    mesh = make_pipe_mesh(4)
+    pp = PPEngine(model, plan, ip, mesh, microbatches=4)
+    eng = IntEngine(model, plan, ip)
+    xi = eng.condition_input(x)
+    mb = xi.shape[0] // 4
+    prog = pp._program(mb, xi.shape[1:], xi.dtype)
+    stream_struct = jax.ShapeDtypeStruct((4, mb) + xi.shape[1:], xi.dtype)
+    pstruct = jax.ShapeDtypeStruct(pp._pstack.shape, pp._pstack.dtype)
+    txt = prog.lower(stream_struct, pstruct).compile().as_text()
+    sizes = hlo_collective_permute_bytes(txt)
+    assert len(sizes) == 1, sizes
+
+    metas, _ = pp._trace_boundaries(mb, xi.shape[1:], xi.dtype)
+    maxbytes = max(
+        int(np.prod(m[0])) * np.dtype(m[1]).itemsize for m in metas[1:]
+    )
+    assert sizes[0] == maxbytes, (sizes, maxbytes)
