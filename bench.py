@@ -113,6 +113,11 @@ def main():
         "--s2d", action="store_true", default=False,
         help="space-to-depth stem conv (XLA, explicit pads)",
     )
+    ap.add_argument(
+        "--pad-channels", type=int, default=0,
+        help="pad channels below N up to a multiple of N with zero weights "
+        "at bake time (bit-exact; lane alignment A/B, VERDICT r2 #3)",
+    )
     args = ap.parse_args()
 
     from f8net_tpu.engine import IntEngine
@@ -144,6 +149,7 @@ def main():
         model, plan, int_params, int_only=True, use_pallas=pallas_mode,
         f32_taps=args.f32_taps, border_bias=args.border_bias,
         maxpool_impl=args.maxpool, stem_kernel=args.stem, stem_s2d=args.s2d,
+        pad_channels_to=args.pad_channels,
     )
     x = jnp.round(
         255.0

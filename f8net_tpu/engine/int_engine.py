@@ -937,11 +937,22 @@ class IntEngine:
         stem_kernel: bool = False,
         stem_s2d: bool = False,
         stem_impl: Optional[str] = None,
+        pad_channels_to: int = 0,
     ):
         if stem_impl is None:
             # read once at construction so post-compile env flips can't
             # silently keep a stale impl (the jit cache key carries it)
             stem_impl = os.environ.get("F8NET_STEM_IMPL", "v2")
+        if int_only and pad_channels_to:
+            # lane-align narrow channels with zero weights at bake time --
+            # bit-exact by construction (quant/pad_channels.py); engine-only:
+            # the padded graph matches int_params, not the float params
+            from ..quant.pad_channels import pad_channels
+
+            model, int_params = pad_channels(
+                model, int_params,
+                multiple=pad_channels_to, threshold=pad_channels_to,
+            )
         self.model = model
         self.plan = plan
         self.cfg = cfg or model.cfg

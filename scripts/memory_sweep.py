@@ -104,7 +104,9 @@ def main():
 
     eng = IntEngine(model, plan, int_params, int_only=True)
     fparams = plain_params(model, int_params)
-    bf16 = jax.jit(lambda v: plain_forward(model, fparams, v))
+    # weights as ARGUMENTS (not closure constants) so the executable's
+    # memory_analysis counts them in argument bytes for both engines
+    bf16 = jax.jit(lambda p, v: plain_forward(model, p, v))
 
     w_int8 = tree_bytes(eng.int_params)
     w_bf16 = tree_bytes(fparams)
@@ -131,17 +133,16 @@ def main():
         )
         xb = (x8.astype(jnp.float32) / 256.0).astype(jnp.bfloat16)
         pts = {}
-        for name, fn, x in (("int8", eng, x8), ("bf16", bf16, xb)):
+        for name, fn, p, x in (
+            ("int8", eng._jit, eng.int_params, x8),
+            ("bf16", bf16, fparams, xb),
+        ):
             if name in dead:
                 continue
             try:
-                if name == "bf16":
-                    compiled = fn.lower(x).compile()
-                    mem = _mem_fields(compiled)
-                    run = fn
-                else:
-                    mem = {}
-                    run = fn  # IntEngine wraps its own jit
+                compiled = fn.lower(p, x).compile()
+                mem = _mem_fields(compiled)
+                run = lambda v, c=compiled, pp=p: c(pp, v)
                 ts = []
                 for _ in range(args.rounds):
                     ts.append(_time(run, x, max(args.iters // args.rounds, 2)))
