@@ -26,6 +26,111 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class _ImageRing:
+    """Shared-memory ingestion ring: clients copy their images directly into
+    a preallocated (capacity, H, W, C) buffer at submit time, so the
+    dispatcher's hot loop does ZERO per-image copies -- a batch is a
+    contiguous slice view of the ring (dispatcher_bench.py measured the
+    per-image memcpy as the front-end ceiling, VERDICT r2 item 6).
+
+    Positions are absolute monotonically-increasing integers; slot =
+    pos % capacity.  `alloc` never returns a wrapping range (it skips the
+    tail slots instead; the skipped positions are reclaimed when the next
+    batch frees past them).  A slot is "ready" once its writer finished
+    (`ready[slot] == pos`); the dispatcher waits on exactly the rows it
+    routes, so stale/garbage pad rows cost nothing.  Slots are freed after
+    the batch's logits are routed -- long after jnp.array copied them out.
+    """
+
+    def __init__(self, capacity: int, shape, dtype):
+        self.R = int(capacity)
+        self.buf = np.zeros((self.R,) + tuple(shape), dtype)
+        self.ready = np.full(self.R, -1, np.int64)
+        self.head = 0  # next abs position to allocate
+        self.tail = 0  # abs position before which every slot is free
+        self.cond = threading.Condition()
+        self.waiters = 0  # notify only when someone actually waits
+
+    def alloc(self, n: int, timeout: float = 10.0) -> Optional[int]:
+        """Reserve n contiguous slots; returns the abs start position, or
+        None on timeout (caller falls back to the copy path)."""
+        assert 0 < n <= self.R
+        deadline = time.perf_counter() + timeout
+        with self.cond:
+            if (self.head % self.R) + n > self.R:
+                # skip the wrap tail; those positions are never written and
+                # are reclaimed when free() passes them
+                self.head += self.R - (self.head % self.R)
+            while self.head + n - self.tail > self.R:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    return None
+                self.waiters += 1
+                try:
+                    self.cond.wait(remaining)
+                finally:
+                    self.waiters -= 1
+            start = self.head
+            self.head += n
+            return start
+
+    def write(self, start: int, images: np.ndarray):
+        s = start % self.R
+        self.buf[s : s + images.shape[0]] = images
+        with self.cond:
+            self.ready[s : s + images.shape[0]] = np.arange(
+                start, start + images.shape[0]
+            )
+            if self.waiters:
+                self.cond.notify_all()
+
+    def wait_ready(self, start: int, n: int, timeout: float = 10.0) -> bool:
+        s = start % self.R
+        want = np.arange(start, start + n)
+        deadline = time.perf_counter() + timeout
+        with self.cond:
+            while not (self.ready[s : s + n] == want).all():
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    return False
+                self.waiters += 1
+                try:
+                    self.cond.wait(remaining)
+                finally:
+                    self.waiters -= 1
+        return True
+
+    def view(self, start: int, n: int) -> np.ndarray:
+        s = start % self.R
+        assert s + n <= self.R
+        return self.buf[s : s + n]
+
+    def free_upto(self, pos: int):
+        with self.cond:
+            if pos > self.tail:
+                self.tail = pos
+                if self.waiters:
+                    self.cond.notify_all()
+
+
+class _RingRef:
+    """Queue payload standing in for images living in the ring."""
+
+    __slots__ = ("ring", "start", "shape")
+
+    def __init__(self, ring: _ImageRing, start: int, n: int):
+        self.ring = ring
+        self.start = start
+        self.shape = (n,) + ring.buf.shape[1:]
+
+    @property
+    def end(self) -> int:
+        return self.start + self.shape[0]
+
+    def materialize(self) -> np.ndarray:
+        return self.ring.view(self.start, self.shape[0])
+
+
 class ServingEngine:
     def __init__(
         self,
@@ -34,6 +139,9 @@ class ServingEngine:
         max_wait_ms: float = 5.0,
         mesh=None,
         buckets=None,
+        ring_capacity: int = 0,
+        image_shape=None,
+        image_dtype=np.uint8,
         name: str = "f8net-serving",
     ):
         """buckets: optional ascending batch-size buckets, e.g. (8, 16, 64).
@@ -69,7 +177,20 @@ class ServingEngine:
         # pad memcpy -- their outputs are never routed (dispatcher_bench.py:
         # the pad copy was the dominant front-end cost at low fill)
         self._bufs = {}
-        self.stats = {"batches": 0, "images": 0, "padded": 0, "bucket_hits": {}}
+        # zero-copy ingestion ring: clients write images straight into the
+        # shared buffer at submit time; the dispatcher slices views
+        # (ring_capacity in images; >= 4x the batch keeps it off the
+        # allocator's critical path)
+        self._ring = None
+        self._submit_lock = threading.Lock()
+        if ring_capacity:
+            assert image_shape is not None, "ring ingestion needs image_shape"
+            assert ring_capacity >= 2 * batch_size, (ring_capacity, batch_size)
+            self._ring = _ImageRing(ring_capacity, image_shape, image_dtype)
+        self.stats = {
+            "batches": 0, "images": 0, "padded": 0, "bucket_hits": {},
+            "ring_batches": 0, "copy_batches": 0,
+        }
 
     # -- public API ---------------------------------------------------------
 
@@ -90,6 +211,30 @@ class ServingEngine:
         if images.ndim == 3:
             images = images[None]
         fut: Future = Future()
+        ring = self._ring
+        if (
+            ring is not None
+            and images.shape[1:] == ring.buf.shape[1:]
+            and images.dtype == ring.buf.dtype
+            and images.shape[0] <= self.batch_size
+        ):
+            # alloc + enqueue under one lock so queue order matches slot
+            # order (contiguous slices stay the common case); the copy runs
+            # in the CLIENT thread, off the dispatcher's critical path
+            with self._submit_lock:
+                start = ring.alloc(images.shape[0], timeout=0.0)
+                if start is not None:
+                    self._q.put((_RingRef(ring, start, images.shape[0]), fut))
+            if start is not None:
+                ring.write(start, images)
+                return fut
+            # ring full right now: block for space OUTSIDE the order lock
+            # (order breaks -> the dispatcher's contiguity check catches it)
+            start = ring.alloc(images.shape[0], timeout=5.0)
+            if start is not None:
+                self._q.put((_RingRef(ring, start, images.shape[0]), fut))
+                ring.write(start, images)
+                return fut
         self._q.put((images, fut))
         return fut
 
@@ -136,22 +281,88 @@ class ServingEngine:
                     for _, fut in items:
                         if not fut.done():
                             fut.set_exception(e)
-            for logits_dev, its, valid in pending:
+            for logits_dev, its, valid, free_pos in pending:
                 try:
                     self._route(np.asarray(logits_dev), its, valid)
                 except Exception as e:
                     for _, fut in its:
                         if not fut.done():
                             fut.set_exception(e)
+                finally:
+                    if free_pos is not None:
+                        self._ring.free_upto(free_pos)
             pending = launched
-        for logits_dev, its, valid in pending:  # drain on shutdown
+        for logits_dev, its, valid, free_pos in pending:  # drain on shutdown
             try:
                 self._route(np.asarray(logits_dev), its, valid)
             except Exception:
                 pass
+            finally:
+                if free_pos is not None:
+                    self._ring.free_upto(free_pos)
 
     def _launch(self, items):
-        """Enqueue device work for the collected requests; non-blocking."""
+        """Enqueue device work for the collected requests; non-blocking.
+
+        Zero-copy fast path: when every collected item lives in the
+        ingestion ring in one contiguous slot run and the padded bucket fits
+        before the ring's wrap point, the device batch is a SLICE VIEW of
+        the ring -- the dispatcher performs no per-image copies at all
+        (pad rows are whatever the ring holds; never routed)."""
+        ring = self._ring
+        free_pos = None
+        if ring is not None:
+            ring_items = [a for a, _ in items if isinstance(a, _RingRef)]
+            if ring_items:
+                free_pos = max(r.end for r in ring_items)
+            n = sum(a.shape[0] for a, _ in items)
+            if (
+                len(ring_items) == len(items)
+                and n <= self.batch_size
+                and all(
+                    items[i + 1][0].start == items[i][0].end
+                    for i in range(len(items) - 1)
+                )
+            ):
+                start = items[0][0].start
+                bucket = next(b for b in self.buckets if b >= n)
+                if (start % ring.R) + bucket <= ring.R:
+                    ok = ring.wait_ready(start, n)
+                    if ok:
+                        self.stats["padded"] += bucket - n
+                        self.stats["bucket_hits"][bucket] = (
+                            self.stats["bucket_hits"].get(bucket, 0) + 1
+                        )
+                        self.stats["ring_batches"] += 1
+                        return [
+                            (self._run(ring.view(start, bucket)), items, n, free_pos)
+                        ]
+            # slow path below: materialize ring views into the copy path
+            # (each ref waits for its writer first -- a view of unwritten
+            # slots would read garbage)
+            for a, _ in items:
+                if isinstance(a, _RingRef) and not ring.wait_ready(
+                    a.start, a.shape[0]
+                ):
+                    raise TimeoutError("ring writer never completed")
+            items = [
+                (np.asarray(a.materialize()) if isinstance(a, _RingRef) else a, f)
+                for a, f in items
+            ]
+        # a collected set may mix row shapes (e.g. ring traffic plus an
+        # odd-shaped request): launch one copy-path batch per shape group
+        shapes = {a.shape[1:] for a, _ in items}
+        if len(shapes) > 1:
+            out = []
+            for shp in shapes:
+                grp = [(a, f) for a, f in items if a.shape[1:] == shp]
+                out.extend(self._launch_copy(grp, free_pos))
+                free_pos = None  # attach the ring free point once
+            return out
+        return self._launch_copy(items, free_pos)
+
+    def _launch_copy(self, items, free_pos):
+        self.stats["copy_batches"] += 1
         arrays = [a for a, _ in items]
         batch = np.concatenate(arrays, axis=0)
         n = batch.shape[0]
@@ -160,7 +371,7 @@ class ServingEngine:
         while n > self.batch_size:
             head, batch = batch[: self.batch_size], batch[self.batch_size :]
             n = batch.shape[0]
-            out.append((self._run(head), items, None))
+            out.append((self._run(head), items, None, None))
         # pad the tail only to the smallest bucket that holds it: low load
         # dispatches a small compiled program instead of the full batch
         bucket = next(b for b in self.buckets if b >= n)
@@ -178,7 +389,7 @@ class ServingEngine:
             padded = batch
         self.stats["padded"] += pad
         self.stats["bucket_hits"][bucket] = self.stats["bucket_hits"].get(bucket, 0) + 1
-        out.append((self._run(padded), items, n))
+        out.append((self._run(padded), items, n, free_pos))
         return out
 
     def _run(self, device_batch):
@@ -297,7 +508,7 @@ class CrossHostServingEngine:
         self._started = False
         self.stats = {
             "batches": 0, "images": 0, "padded": 0, "idle_rounds": 0,
-            "bucket_hits": {},
+            "bucket_hits": {}, "coord_ticks": 0, "coord_s": 0.0,
         }
 
     def start(self):
@@ -420,7 +631,19 @@ class CrossHostServingEngine:
                 # bucket ladder + shutdown agreement: the smallest executable
                 # that holds the global demand (max_host bounds per-host
                 # shards, so no host ever defers items it already collected)
+                t0 = time.perf_counter()
                 total, max_host, all_stopped = coord(n, stopping)
+                dt = time.perf_counter() - t0
+                self.stats["coord_s"] += dt
+                self.stats["coord_ticks"] += 1
+                # steady-state view: the first ticks pay the reduce_fn jit
+                if self.stats["coord_ticks"] > 3:
+                    self.stats["coord_s_steady"] = (
+                        self.stats.get("coord_s_steady", 0.0) + dt
+                    )
+                    self.stats["coord_ticks_steady"] = (
+                        self.stats.get("coord_ticks_steady", 0) + 1
+                    )
                 if all_stopped:
                     break
                 bucket = self._pick_bucket(total, max_host, nproc)

@@ -35,9 +35,16 @@ def main():
     reqs = int(sys.argv[3]) if len(sys.argv) > 3 else 400
 
     img = np.zeros((224, 224, 3), np.uint8)
-    for buckets in (None, (8, 16, batch)):
+    for buckets, ring in (
+        (None, 0),
+        ((8, 16, batch), 0),
+        (None, 16 * batch),
+        ((8, 16, batch), 16 * batch),
+    ):
         srv = ServingEngine(
-            _InstantEngine(), batch_size=batch, max_wait_ms=2.0, buckets=buckets
+            _InstantEngine(), batch_size=batch, max_wait_ms=2.0,
+            buckets=buckets, ring_capacity=ring,
+            image_shape=(224, 224, 3), image_dtype=np.uint8,
         ).start()
         lat = []
         lock = threading.Lock()
@@ -60,10 +67,12 @@ def main():
         lat = np.array(sorted(lat))
         total = n_clients * reqs
         print(
-            f"dispatcher b{batch} buckets={buckets or '-'} clients={n_clients}: "
+            f"dispatcher b{batch} buckets={buckets or '-'} "
+            f"ring={ring or '-'} clients={n_clients}: "
             f"{total / wall:9.1f} req/s  p50 {lat[len(lat)//2]*1e3:6.2f} ms  "
             f"p99 {lat[int(len(lat)*0.99)]*1e3:6.2f} ms  "
-            f"batches {srv.stats['batches']}"
+            f"batches {srv.stats['batches']} "
+            f"(ring {srv.stats['ring_batches']}/copy {srv.stats['copy_batches']})"
         )
 
 

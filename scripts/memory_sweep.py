@@ -86,6 +86,13 @@ def main():
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument(
+        "--stem", action="store_true",
+        help="fused Pallas stem (writes only the pooled int32 output -- "
+        "cuts the stem's 112^2 s32 materialization out of peak HBM)",
+    )
+    ap.add_argument("--pad-channels", type=int, default=0)
+    ap.add_argument("--skip-bf16", action="store_true")
     args = ap.parse_args()
 
     from f8net_tpu.engine import IntEngine
@@ -102,7 +109,10 @@ def main():
     params, state = model.init(jax.random.PRNGKey(0))
     plan, int_params = bake_plan(model, params, state)
 
-    eng = IntEngine(model, plan, int_params, int_only=True)
+    eng = IntEngine(
+        model, plan, int_params, int_only=True, stem_kernel=args.stem,
+        pad_channels_to=args.pad_channels,
+    )
     fparams = plain_params(model, int_params)
     # weights as ARGUMENTS (not closure constants) so the executable's
     # memory_analysis counts them in argument bytes for both engines
@@ -122,7 +132,9 @@ def main():
     )
 
     hw = args.image_size
-    results = {"int8": [], "bf16": []}
+    from collections import defaultdict
+
+    results = defaultdict(list)
     dead = set()
     for b in [int(s) for s in args.batches.split(",")]:
         # wire-honest inputs: uint8 for the int8 engine (condition_input's
@@ -132,11 +144,14 @@ def main():
             jnp.uint8,
         )
         xb = (x8.astype(jnp.float32) / 256.0).astype(jnp.bfloat16)
+        label = "int8" + ("+stem" if args.stem else "") + (
+            f"+pad{args.pad_channels}" if args.pad_channels else ""
+        )
+        engines = [(label, eng._jit, eng.int_params, x8)]
+        if not args.skip_bf16:
+            engines.append(("bf16", bf16, fparams, xb))
         pts = {}
-        for name, fn, p, x in (
-            ("int8", eng._jit, eng.int_params, x8),
-            ("bf16", bf16, fparams, xb),
-        ):
+        for name, fn, p, x in engines:
             if name in dead:
                 continue
             try:
@@ -173,15 +188,17 @@ def main():
             break
 
     summary = {"model": args.model, "kind": "summary"}
-    for name in ("int8", "bf16"):
-        if results[name]:
-            best = max(results[name], key=lambda p: p["img_per_s"])
-            summary[f"{name}_peak_img_per_s"] = best["img_per_s"]
-            summary[f"{name}_peak_batch"] = best["batch"]
-            summary[f"{name}_max_batch"] = max(p["batch"] for p in results[name])
-    if results["int8"] and results["bf16"]:
+    names = list(results)
+    for name in names:
+        best = max(results[name], key=lambda p: p["img_per_s"])
+        summary[f"{name}_peak_img_per_s"] = best["img_per_s"]
+        summary[f"{name}_peak_batch"] = best["batch"]
+        summary[f"{name}_max_batch"] = max(p["batch"] for p in results[name])
+    if len(names) == 2:
         summary["peak_vs_peak"] = round(
-            summary["int8_peak_img_per_s"] / summary["bf16_peak_img_per_s"], 3
+            summary[f"{names[0]}_peak_img_per_s"]
+            / summary[f"{names[1]}_peak_img_per_s"],
+            3,
         )
     print(json.dumps(summary), flush=True)
 

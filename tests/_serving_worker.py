@@ -82,6 +82,16 @@ def main():
         assert min(hits) == n_dev, hits  # the low-load round ran small
     assert max(hits) == 4 * n_dev, hits  # the big request ran the largest
 
+    # tick-collective overhead (VERDICT r2 item 6): the DCN coordination
+    # reduce must be cheap relative to the tick budget
+    for s in (srv.stats, srv2.stats):
+        assert s["coord_ticks"] > 0, s
+        s["coord_ms_per_tick"] = round(1e3 * s["coord_s"] / s["coord_ticks"], 3)
+        if s.get("coord_ticks_steady"):
+            s["coord_ms_steady"] = round(
+                1e3 * s["coord_s_steady"] / s["coord_ticks_steady"], 3
+            )
+
     print(f"serving worker {pid}: ok ({srv.stats} | ladder {srv2.stats})")
 
 

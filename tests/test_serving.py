@@ -174,3 +174,81 @@ def test_crosshost_prewarm_buckets():
     np.testing.assert_allclose(out[0, 0], 4.0 * 8 * 8 * 3, rtol=1e-6)
     # both buckets ran before the first real round
     assert eng.calls >= 3
+
+
+def test_ring_ingestion_zero_copy_path():
+    """Zero-copy ring: contiguous single-image requests dispatch as a slice
+    view of the shared ring (no dispatcher copies), results route exactly."""
+    eng = _EchoEngine()
+    srv = ServingEngine(
+        eng, batch_size=4, max_wait_ms=50, ring_capacity=16,
+        image_shape=(8, 8, 3), image_dtype=np.float32,
+    ).start()
+    futs = [srv.submit(_img(i)) for i in range(4)]
+    outs = [f.result(10) for f in futs]
+    srv.stop()
+    assert eng.calls == 1
+    assert srv.stats["ring_batches"] == 1
+    assert srv.stats["copy_batches"] == 0
+    for i, o in enumerate(outs):
+        np.testing.assert_allclose(o[0, 0], i * 8 * 8 * 3, rtol=1e-6)
+
+
+def test_ring_wraparound_many_batches():
+    """A small ring forces wrap skips; correctness holds across many cycles
+    and slots are recycled (no stall)."""
+    eng = _EchoEngine()
+    srv = ServingEngine(
+        eng, batch_size=4, max_wait_ms=2, ring_capacity=8,
+        image_shape=(8, 8, 3), image_dtype=np.float32,
+    ).start()
+    futs = [srv.submit(_img(i)) for i in range(64)]
+    outs = [f.result(20) for f in futs]
+    srv.stop()
+    for i, o in enumerate(outs):
+        np.testing.assert_allclose(o[0, 0], i * 8 * 8 * 3, rtol=1e-6)
+    assert srv.stats["ring_batches"] >= 1
+
+
+def test_ring_fallback_on_shape_mismatch():
+    """Requests whose rows don't match the ring go through the copy path,
+    mixed with ring traffic, without corrupting routing."""
+    eng = _EchoEngine()
+    srv = ServingEngine(
+        eng, batch_size=4, max_wait_ms=20, ring_capacity=16,
+        image_shape=(8, 8, 3), image_dtype=np.float32,
+    ).start()
+    f1 = srv.submit(_img(1))
+    f2 = srv.submit(np.full((4, 4, 3), 2.0, np.float32))  # wrong shape
+    o1, o2 = f1.result(10), f2.result(10)
+    srv.stop()
+    np.testing.assert_allclose(o1[0, 0], 8 * 8 * 3, rtol=1e-6)
+    np.testing.assert_allclose(o2[0, 0], 2.0 * 4 * 4 * 3, rtol=1e-6)
+    assert srv.stats["copy_batches"] >= 1
+
+
+def test_ring_concurrent_clients_hammer():
+    """Many client threads writing into the ring concurrently: every future
+    gets exactly its own logits."""
+    eng = _EchoEngine()
+    srv = ServingEngine(
+        eng, batch_size=8, max_wait_ms=2, ring_capacity=32,
+        image_shape=(8, 8, 3), image_dtype=np.float32,
+    ).start()
+    results = {}
+    lock = threading.Lock()
+
+    def client(k):
+        out = srv.infer(_img(100 + k), timeout=30)
+        with lock:
+            results[k] = out
+
+    threads = [threading.Thread(target=client, args=(k,)) for k in range(48)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    srv.stop()
+    assert len(results) == 48
+    for k, o in results.items():
+        np.testing.assert_allclose(o[0, 0], (100 + k) * 8 * 8 * 3, rtol=1e-6)
