@@ -168,16 +168,30 @@ def main():
     ips_int = args.batch / t_int
     ips_bf16 = args.batch / t_bf16
 
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.model}_int8_{args.engine}_images_per_sec_1chip_{platform}",
-                "value": round(ips_int, 1),
-                "unit": "images/s",
-                "vs_baseline": round(ratio, 3),
-            }
-        )
+    # the int8-favorable dimensions (exact, static): weight footprint and
+    # host wire bytes vs the bf16 deployment (docs/BENCHMARKS.md round-3
+    # memory section has the full operating-point sweep incl. the
+    # peak-activation obituary)
+    tb = lambda tree: sum(
+        v.size * jnp.dtype(v.dtype).itemsize
+        for e in tree.values() for v in e.values()
     )
+    for metric, val in (
+        (
+            f"{args.model}_int8_weight_bytes_ratio_vs_bf16",
+            round(tb(fparams) / tb(eng.int_params), 3),
+        ),
+        (f"{args.model}_int8_wire_bytes_ratio_vs_bf16", 2.0),  # uint8 vs bf16
+    ):
+        print(
+            json.dumps(
+                {"metric": metric, "value": val, "unit": "x", "vs_baseline": val}
+            ),
+            file=sys.stderr,
+        )
+
+    # informational lines go to stderr FIRST; the headline metric is the
+    # LAST JSON line so a combined-stream capture parses the right one
     print(
         json.dumps(
             {
@@ -188,6 +202,18 @@ def main():
             }
         ),
         file=sys.stderr,
+        flush=True,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.model}_int8_{args.engine}_images_per_sec_1chip_{platform}",
+                "value": round(ips_int, 1),
+                "unit": "images/s",
+                "vs_baseline": round(ratio, 3),
+            }
+        ),
+        flush=True,
     )
 
 
