@@ -61,12 +61,15 @@ def _mem_fields(compiled):
         return {}
 
 
-def _time(fn, x, iters, warmup=1):
+def _time(fn, xs, iters, warmup=1):
+    """xs: list of DISTINCT device inputs, cycled -- identical repeated
+    calls through the relay can be deduplicated/replayed (observed: b4096+
+    points 'ran' in 0.27 ms; CLAUDE.md measurement discipline)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(x))
+        jax.block_until_ready(fn(xs[0]))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(x)
+    for i in range(iters):
+        out = fn(xs[i % len(xs)])
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
@@ -160,13 +163,19 @@ def main():
             try:
                 compiled = fn.lower(p, x).compile()
                 mem = _mem_fields(compiled)
-                xd = jax.device_put(x)  # input on device; not in the timing
+                # two distinct device inputs, alternated (anti-replay)
+                x2 = x.copy()
+                if x.dtype == _np.uint8:
+                    x2[:1] ^= 1
+                else:
+                    x2[:1] = -x2[:1]
+                xds = [jax.device_put(x), jax.device_put(x2)]
                 run = lambda v, c=compiled, pp=p: c(pp, v)
                 ts = []
                 for _ in range(args.rounds):
-                    ts.append(_time(run, xd, max(args.iters // args.rounds, 2)))
+                    ts.append(_time(run, xds, max(args.iters // args.rounds, 2)))
                 t = sorted(ts)[len(ts) // 2]
-                del xd
+                del xds
                 pt = {
                     "model": args.model, "kind": "point", "engine": name,
                     "batch": b, "img_per_s": round(b / t, 1),
