@@ -118,6 +118,11 @@ def main():
         help="pad channels below N up to a multiple of N with zero weights "
         "at bake time (bit-exact; lane alignment A/B, VERDICT r2 #3)",
     )
+    ap.add_argument(
+        "--dw-int", action="store_true", default=False,
+        help="depthwise convs via the s8/s32 int conv instead of the "
+        "exact-f32 VPU path (bit-exact; attribution A/B)",
+    )
     args = ap.parse_args()
 
     from f8net_tpu.engine import IntEngine
@@ -149,7 +154,7 @@ def main():
         model, plan, int_params, int_only=True, use_pallas=pallas_mode,
         f32_taps=args.f32_taps, border_bias=args.border_bias,
         maxpool_impl=args.maxpool, stem_kernel=args.stem, stem_s2d=args.s2d,
-        pad_channels_to=args.pad_channels,
+        pad_channels_to=args.pad_channels, dw_int=args.dw_int,
     )
     x = jnp.round(
         255.0

@@ -295,6 +295,7 @@ class _Walker:
         f32_taps: int = 0,
         border_bias: bool = False,
         stem_s2d: bool = False,
+        dw_int: bool = False,
     ):
         self.model = model
         self.graph = model.graph
@@ -313,6 +314,11 @@ class _Walker:
         # saves a full HBM round trip of the activation per conv
         self.border_bias = border_bias
         self.stem_s2d = stem_s2d
+        # depthwise via the s8/s32 int conv instead of the exact-f32 VPU
+        # detour -- bit-exact either way (identical integer results); an
+        # attribution/A-B knob (scripts/mbv2_attrib.py found the hybrid's
+        # s32 depthwise cheap while the engine lags)
+        self.dw_int = dw_int
 
     # -- integer path -------------------------------------------------------
 
@@ -387,7 +393,11 @@ class _Walker:
         # 1x1/3x3 convs with real channel counts stay on the int8 matmul path.
         kh, kw = spec.kernel
         taps = kh * kw * (spec.in_ch // spec.groups)
-        exact_f32 = spec.is_depthwise or spec.in_ch <= 8 or taps <= self.f32_taps
+        exact_f32 = (
+            (spec.is_depthwise and not self.dw_int)
+            or spec.in_ch <= 8
+            or taps <= self.f32_taps
+        )
 
         if (
             spec.is_depthwise
@@ -738,6 +748,7 @@ def int_forward(
     int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
     border_bias: bool = False, maxpool_impl: str = "single",
     stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
+    dw_int: bool = False,
 ):
     """Integer-only forward.  `x` is the conditioned uint8-range input:
     round(255*image) as int32 (unnormalized pipeline, fraclen 8), or the
@@ -747,6 +758,7 @@ def int_forward(
         int_only=True, int8_operands=int8_operands, use_pallas=use_pallas,
         f32_taps=f32_taps, border_bias=border_bias, maxpool_impl=maxpool_impl,
         stem_kernel=stem_kernel, stem_s2d=stem_s2d, stem_impl=stem_impl,
+        dw_int=dw_int,
     )
 
 
@@ -777,11 +789,12 @@ def _forward(
     int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
     border_bias: bool = False, maxpool_impl: str = "single",
     stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
+    dw_int: bool = False,
 ):
     cfg = cfg or model.cfg
     w = _Walker(
         model, plan, int_params, cfg, int_only, int8_operands, use_pallas,
-        f32_taps, border_bias, stem_s2d=stem_s2d,
+        f32_taps, border_bias, stem_s2d=stem_s2d, dw_int=dw_int,
     )
     fam = model.name
     head_pl = plan["head"]
@@ -938,6 +951,7 @@ class IntEngine:
         stem_s2d: bool = False,
         stem_impl: Optional[str] = None,
         pad_channels_to: int = 0,
+        dw_int: bool = False,
     ):
         if stem_impl is None:
             # read once at construction so post-compile env flips can't
@@ -967,7 +981,7 @@ class IntEngine:
                 lambda p, xx: int_forward(
                     self.model, self.plan, p, xx, self.cfg, int8_operands,
                     use_pallas, f32_taps, border_bias, maxpool_impl,
-                    stem_kernel, stem_s2d, stem_impl,
+                    stem_kernel, stem_s2d, stem_impl, dw_int,
                 )
             )
         else:

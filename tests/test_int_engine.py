@@ -252,3 +252,16 @@ def test_border_bias_bitexact_vs_pad(name):
     e_bb = IntEngine(model, plan, int_params, int_only=True, border_bias=True)
     xi = e_pad.condition_input(x)
     np.testing.assert_array_equal(np.asarray(e_pad(xi)), np.asarray(e_bb(xi)))
+
+
+def test_dw_int_path_bitexact():
+    """Depthwise via the s8/s32 int conv (dw_int=True) produces identical
+    integers to the default exact-f32 VPU path, both MobileNet families."""
+    for name in ("mobilenet_v1", "mobilenet_v2"):
+        model, params, state, x = _trained_model(name, BASE)
+        plan, ip = bake_plan(model, params, state)
+        eng = IntEngine(model, plan, ip, int_only=True)
+        xi = eng.condition_input(x)
+        ref = np.asarray(eng(xi))
+        eng2 = IntEngine(model, plan, ip, int_only=True, dw_int=True)
+        np.testing.assert_array_equal(np.asarray(eng2(xi)), ref, err_msg=name)
