@@ -59,19 +59,27 @@ def conv_bf16(v, w, scale, k):
 
 
 def measure(name, mk_chain, inputs, n_short, n_long, reps, flops):
+    """Anti-replay: every call's input is the PREVIOUS call's output (the
+    chains preserve shape/dtype), so no two calls through the relay ever
+    repeat identical (program, args) -- repeated identical calls get
+    deduplicated/replayed and time as garbage (docs/BENCHMARKS.md
+    measurement discipline)."""
     try:
         f_s = mk_chain(n_short)
         f_l = mk_chain(n_long)
+        cur = inputs[0]
+        step = lambda f, a: jax.block_until_ready(f(a))
+        cur = step(f_s, cur)  # compile
+        cur = step(f_l, cur)  # compile
         deltas = []
         for r in range(reps):
-            a = inputs[r % len(inputs)]
-            jax.block_until_ready(f_s(a))
-            jax.block_until_ready(f_l(a))
+            cur = step(f_s, cur)  # warm
             t0 = time.perf_counter()
-            jax.block_until_ready(f_s(a))
+            cur = step(f_s, cur)
             ts = time.perf_counter() - t0
+            cur = step(f_l, cur)  # warm
             t0 = time.perf_counter()
-            jax.block_until_ready(f_l(a))
+            cur = step(f_l, cur)
             tl = time.perf_counter() - t0
             deltas.append((tl - ts) / (n_long - n_short))
         t = float(np.median(deltas))
