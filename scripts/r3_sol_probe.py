@@ -113,21 +113,25 @@ def main():
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     outf = open(args.out, "a")
     rng = np.random.RandomState(0)
-    n = args.batch
 
-    # (tag) -> (hw, k, chain spec)   square: C->C; pair: Ca->Cb->Ca
+    # (tag) -> (kind, hw, k, C, batch_mult, long_links): small shapes get
+    # bigger batches + longer chains so the long-chain wall time clears the
+    # relay's ~2 ms jitter by >25x (the first run's 0.05-0.6 ms/link rows
+    # produced up-to-8700% spreads)
     classes = {
-        "R3": ("square", 14, 3, 256),
-        "P56": ("square", 56, 1, 128),
-        "P28": ("square", 28, 1, 256),
-        "P14": ("square", 14, 1, 512),
-        "P7": ("square", 7, 1, 1024),
-        "E14": ("pair", 14, 1, (96, 576)),   # MBv2 stage-4 expand/project
-        "E7": ("pair", 7, 1, (160, 960)),    # MBv2 stage-5
+        "R3": ("square", 14, 3, 256, 2, 152),
+        "P56": ("square", 56, 1, 128, 1, 152),
+        "P28": ("square", 28, 1, 256, 1, 152),
+        "P14": ("square", 14, 1, 512, 2, 152),
+        "P7": ("square", 7, 1, 1024, 8, 152),
+        "E14": ("pair", 14, 1, (96, 576), 2, 152),
+        "E7": ("pair", 7, 1, (160, 960), 8, 152),
     }
 
     for tag in args.classes.split(","):
-        kind, hw, k, c = classes[tag]
+        kind, hw, k, c, bmul, long_links = classes[tag]
+        n = args.batch * bmul
+        n_long = max(args.long, long_links)
         net = 4
         if kind == "square":
             flops = 2.0 * n * hw * hw * k * k * c * c
@@ -198,8 +202,8 @@ def main():
             f"({flops/1e9:.1f} GFLOP/link) ==", flush=True,
         )
         res = [
-            measure("xla_s8", mk_s8, xs, args.short, args.long, args.reps, flops),
-            measure("xla_bf16", mk_bf, xbs, args.short, args.long, args.reps, flops),
+            measure("xla_s8", mk_s8, xs, args.short, n_long, args.reps, flops),
+            measure("xla_bf16", mk_bf, xbs, args.short, n_long, args.reps, flops),
         ]
         for r in res:
             outf.write(json.dumps({**r, "class": tag, "n": n, "hw": hw, "k": k}) + "\n")
