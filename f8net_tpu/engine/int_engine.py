@@ -30,7 +30,9 @@ from jax import lax
 
 from ..nn.quant_layers import avgpool_shift_for
 from ..nn.spec import ConvBNSpec
-from ..ops.fxp import fix_quant, shift_requant
+from ..ops.fxp import (
+    fix_quant, requant_f32_eligible, shift_requant, shift_requant_f32,
+)
 
 INT32_MAX = (1 << 31) - 1
 
@@ -263,14 +265,21 @@ def _maxpool(x, kernel, stride, padding, impl: str = "single"):
 
 class IAct:
     """Integer activation: int32 at fraclen `fl`, or an int8 operand already
-    packed (requantized + zero-point shifted) for a specific consumer."""
+    packed (requantized + zero-point shifted) for a specific consumer.
 
-    __slots__ = ("x", "fl", "packed_for")
+    `abs_bound` is a STATIC (Python int) proof about the values: |x| <=
+    abs_bound, derived from the producing layer's baked weights/bias and
+    propagated through relu/maxpool/adds.  It licenses the bit-exact f32
+    requant epilogue (ops/fxp.py requant_f32_eligible) on the 1x1-dominated
+    paths where the integer requant chain is the measured bottleneck."""
 
-    def __init__(self, x, fl, packed_for=None):
+    __slots__ = ("x", "fl", "packed_for", "abs_bound")
+
+    def __init__(self, x, fl, packed_for=None, abs_bound=None):
         self.x = x
         self.fl = fl
         self.packed_for = packed_for
+        self.abs_bound = abs_bound
 
 
 class _Walker:
@@ -296,6 +305,7 @@ class _Walker:
         border_bias: bool = False,
         stem_s2d: bool = False,
         dw_int: bool = False,
+        requant_bounds=None,
     ):
         self.model = model
         self.graph = model.graph
@@ -319,6 +329,9 @@ class _Walker:
         # attribution/A-B knob (scripts/mbv2_attrib.py found the hybrid's
         # s32 depthwise cheap while the engine lags)
         self.dw_int = dw_int
+        # {layer: static |acc+bias| bound} from the baked params (computed
+        # OUTSIDE jit by IntEngine; None disables the f32 requant fast path)
+        self.requant_bounds = requant_bounds
 
     # -- integer path -------------------------------------------------------
 
@@ -331,7 +344,16 @@ class _Walker:
             assert act.packed_for == name, (act.packed_for, name)
             return act
         pl = self.plan[name]
-        v = shift_requant(act.x, 8, pl.input_fl, act.fl, pl.input_symmetric)
+        rq = shift_requant
+        if (
+            act.abs_bound is not None
+            and requant_f32_eligible(act.abs_bound, pl.input_fl, act.fl)
+        ):
+            # bit-exact f32 requant: at 1x1 arithmetic intensity the integer
+            # shift/round chain is the measured epilogue bottleneck
+            # (docs/BENCHMARKS.md round-3 SoL table)
+            rq = shift_requant_f32
+        v = rq(act.x, 8, pl.input_fl, act.fl, pl.input_symmetric)
         if not self.int8_operands:
             return IAct(v, pl.input_fl, packed_for=name)
         if pl.input_symmetric:
@@ -562,7 +584,7 @@ class _Walker:
                 ones = jnp.ones((1,) + act.x.shape[1:], jnp.int8)
                 bmap = p["b"] + 128 * self._dense0(ones, p["w"], spec, exact_f32)
                 y = self._dense0(act.x, p["w"], spec, exact_f32) + bmap
-                out = IAct(y, pl.out_fl)
+                out = IAct(y, pl.out_fl, abs_bound=self._bound(name))
                 if pack_output_for is not None:
                     out = self.pack_for(out, pack_output_for)
                 return out
@@ -592,25 +614,39 @@ class _Walker:
                 ) + b
         else:
             y = _conv_int(act.x, p["w"].astype(jnp.int32), spec) + p["b"]
-        out = IAct(y, pl.out_fl)
+        out = IAct(y, pl.out_fl, abs_bound=self._bound(name))
         if pack_output_for is not None:
             out = self.pack_for(out, pack_output_for)
         return out
 
+    def _bound(self, name):
+        # bounds assume packed int8 operands (|x8| <= 128); the int32-operand
+        # path feeds unpacked values up to 255, so it gets no bound (falls
+        # back to the always-exact integer requant)
+        if not self.int8_operands or not self.requant_bounds:
+            return None
+        return self.requant_bounds.get(name)
+
     def relu_i32(self, act: IAct) -> IAct:
-        return IAct(jnp.maximum(act.x, 0), act.fl)
+        return IAct(jnp.maximum(act.x, 0), act.fl, abs_bound=act.abs_bound)
 
     def add_int(self, res: IAct, x: IAct) -> IAct:
         """Left-shift the lower-fraclen operand onto the common grid, add,
         saturate to int32 (fix_resnet.py:40-76)."""
         r, rf, v, vf = res.x, res.fl, x.x, x.fl
+        br, bv = res.abs_bound, x.abs_bound
         if rf >= vf:
             v = v << (rf - vf)
             out_fl = rf
+            if bv is not None:
+                bv = bv << (rf - vf)
         else:
             r = r << (vf - rf)
             out_fl = vf
-        return IAct(jnp.clip(r + v, -INT32_MAX, INT32_MAX), out_fl)
+            if br is not None:
+                br = br << (vf - rf)
+        ab = None if (br is None or bv is None) else min(br + bv, INT32_MAX)
+        return IAct(jnp.clip(r + v, -INT32_MAX, INT32_MAX), out_fl, abs_bound=ab)
 
     # -- float-simulation path ---------------------------------------------
 
@@ -748,7 +784,7 @@ def int_forward(
     int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
     border_bias: bool = False, maxpool_impl: str = "single",
     stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
-    dw_int: bool = False,
+    dw_int: bool = False, requant_bounds=None,
 ):
     """Integer-only forward.  `x` is the conditioned uint8-range input:
     round(255*image) as int32 (unnormalized pipeline, fraclen 8), or the
@@ -758,7 +794,7 @@ def int_forward(
         int_only=True, int8_operands=int8_operands, use_pallas=use_pallas,
         f32_taps=f32_taps, border_bias=border_bias, maxpool_impl=maxpool_impl,
         stem_kernel=stem_kernel, stem_s2d=stem_s2d, stem_impl=stem_impl,
-        dw_int=dw_int,
+        dw_int=dw_int, requant_bounds=requant_bounds,
     )
 
 
@@ -784,23 +820,51 @@ def add_zero_point_bias(model, plan, int_params):
     return out
 
 
+def compute_requant_bounds(model, plan, int_params):
+    """Static per-layer bound on |conv(x8, w) + bias|: 128 * sum|w| plus the
+    actually-used bias magnitude, maxed over output channels -- an exact
+    worst case over all int8 operands (|x8| <= 128 after the zero-point
+    repack).  Computed from CONCRETE baked params outside jit; the Python
+    ints become trace-time constants licensing the f32 requant epilogue."""
+    import numpy as np
+
+    from ..nn.spec import ConvBNSpec
+
+    bounds = {}
+    for name, entry in int_params.items():
+        spec = model.graph[name]
+        if not isinstance(spec, ConvBNSpec):
+            continue
+        w = np.abs(np.asarray(entry["w"], np.int64))
+        col = 128 * w.sum(axis=tuple(range(w.ndim - 1)))
+        b = np.zeros_like(col)
+        if "b_zp" in entry:
+            b = np.maximum(b, np.abs(np.asarray(entry["b_zp"], np.int64)))
+        if "b" in entry:
+            b = np.maximum(b, np.abs(np.asarray(entry["b"], np.int64)))
+        bounds[name] = int((col + b).max())
+    return bounds
+
+
 def _forward(
     model, plan, int_params, x, cfg, int_only: bool,
     int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
     border_bias: bool = False, maxpool_impl: str = "single",
     stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
-    dw_int: bool = False,
+    dw_int: bool = False, requant_bounds=None,
 ):
     cfg = cfg or model.cfg
     w = _Walker(
         model, plan, int_params, cfg, int_only, int8_operands, use_pallas,
         f32_taps, border_bias, stem_s2d=stem_s2d, dw_int=dw_int,
+        requant_bounds=requant_bounds,
     )
     fam = model.name
     head_pl = plan["head"]
 
     if int_only:
-        a = IAct(x.astype(jnp.int32), head_pl.input_fl)
+        # conditioned wire input: <=255 unsigned / <=128 signed
+        a = IAct(x.astype(jnp.int32), head_pl.input_fl, abs_bound=256)
         if fam.startswith("resnet"):
             # head output feeds maxpool whose output has two consumers
             # (first conv + residual identity): stays int32
@@ -854,7 +918,10 @@ def _forward(
                 a = IAct(pooled, head_pl.out_fl)
             else:
                 a = w.relu_i32(w.conv_int("head", a))
-                a = IAct(_maxpool(a.x, 3, 2, 1, impl=maxpool_impl), a.fl)
+                a = IAct(
+                    _maxpool(a.x, 3, 2, 1, impl=maxpool_impl), a.fl,
+                    abs_bound=a.abs_bound,
+                )
             for meta in model.blocks:
                 a = _block_resnet_int(w, meta, a)
         elif fam == "mobilenet_v1":
@@ -952,6 +1019,7 @@ class IntEngine:
         stem_impl: Optional[str] = None,
         pad_channels_to: int = 0,
         dw_int: bool = False,
+        f32_requant: bool = True,
     ):
         if stem_impl is None:
             # read once at construction so post-compile env flips can't
@@ -976,12 +1044,17 @@ class IntEngine:
         if int_only and int8_operands:
             int_params = add_zero_point_bias(model, plan, int_params)
         self.int_params = int_params
+        requant_bounds = (
+            compute_requant_bounds(model, plan, int_params)
+            if (int_only and f32_requant)
+            else None
+        )
         if int_only:
             self._jit = jax.jit(
                 lambda p, xx: int_forward(
                     self.model, self.plan, p, xx, self.cfg, int8_operands,
                     use_pallas, f32_taps, border_bias, maxpool_impl,
-                    stem_kernel, stem_s2d, stem_impl, dw_int,
+                    stem_kernel, stem_s2d, stem_impl, dw_int, requant_bounds,
                 )
             )
         else:

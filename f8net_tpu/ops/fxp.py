@@ -155,6 +155,62 @@ def shift_requant(
     return res
 
 
+F32_EXACT_BOUND = 1 << 24  # int32 values |x| < 2^24 are exact in float32
+
+
+def requant_f32_eligible(abs_bound: int, fl: int, input_fl: int) -> bool:
+    """True when shift_requant_f32 is bit-identical to shift_requant for
+    every input with |x| <= abs_bound: the input must be f32-exact AND a
+    left-shift (net < 0) must not wrap int32 (the integer path wraps on
+    overflow; the float path saturates -- property-tested in
+    tests/test_fxp.py)."""
+    net = input_fl - fl
+    if abs_bound >= F32_EXACT_BOUND:
+        return False
+    if net < 0 and (abs_bound << -net) >= (1 << 31):
+        return False
+    return True
+
+
+def shift_requant_f32(
+    x: jnp.ndarray,
+    wl: int = 8,
+    fl: int = 0,
+    input_fl: int = 0,
+    signed: bool = True,
+) -> jnp.ndarray:
+    """shift_requant computed in float32 -- BIT-IDENTICAL whenever the
+    input accumulator satisfies |x| < 2^24 (F32_EXACT_BOUND):
+
+      * x casts to f32 exactly (24-bit significand);
+      * multiplying by the power of two 2^-net only moves the exponent, so
+        the product is exact;
+      * jnp.round is IEEE round-half-to-even == the integer path's explicit
+        tie-to-even logic;
+      * the clamp bounds are tiny integers, exact in f32.
+
+    Why it exists (docs/BENCHMARKS.md round-3 SoL table): the integer
+    requant epilogue costs ~6 VPU int32 ops per element; at 1x1-conv
+    arithmetic intensity that epilogue DOMINATES (s8 1x1 classes measured
+    3-8x slower than bf16's float epilogues, while 3x3 classes -- where the
+    epilogue amortizes -- beat bf16).  The engine switches to this form per
+    layer when the static accumulator bound (from the baked weights/bias)
+    proves exactness; tests assert bit-equality across the whole int32
+    exact range and on every model family."""
+    assert isinstance(fl, int) and isinstance(input_fl, int)
+    assert fl >= 0
+    assert fl <= (wl - 1 if signed else wl)
+    net = input_fl - fl
+    v = jnp.round(x.astype(jnp.float32) * float(2.0 ** (-net)))
+    if signed:
+        bound = (1 << (wl - 1)) - 1
+        v = jnp.clip(v, -bound, bound)
+    else:
+        bound = (1 << wl) - 1
+        v = jnp.clip(v, 0, bound)
+    return v.astype(jnp.int32)
+
+
 def metric2fraclen(
     metric: jnp.ndarray,
     metric_name: str = "std",

@@ -190,3 +190,41 @@ class TestMetricFn:
         x = jnp.array([3.0, -4.0])
         assert float(metric_fn("mae", (0,))(x)) == 3.5
         np.testing.assert_allclose(float(metric_fn("rms", (0,))(x)), np.sqrt(12.5), rtol=1e-6)
+
+
+def test_shift_requant_f32_bitexact_under_bound():
+    """shift_requant_f32 == shift_requant for every input within the
+    requant_f32_eligible bound (incl. forced ties); outside (left-shift
+    int32 wrap) eligibility must say no."""
+    import numpy as np
+
+    from f8net_tpu.ops import (
+        requant_f32_eligible, shift_requant, shift_requant_f32,
+    )
+
+    rng = np.random.RandomState(7)
+    for signed in (True, False):
+        for in_fl in range(0, 16, 3):
+            for fl in (0, 4, 7):
+                net = in_fl - fl
+                bound = (1 << 24) - 1
+                if net < 0 and (bound << -net) >= (1 << 31):
+                    bound = ((1 << 31) - 1) >> (-net)
+                assert requant_f32_eligible(bound, fl, in_fl)
+                x = rng.randint(-bound, bound + 1, 8192).astype(np.int32)
+                if net > 0:
+                    ties = (
+                        rng.randint(-(bound >> net), (bound >> net) + 1, 1024)
+                        << net
+                    ) + (1 << (net - 1))
+                    x = np.concatenate(
+                        [x, np.clip(ties, -bound, bound).astype(np.int32)]
+                    )
+                a = np.asarray(shift_requant(jnp.asarray(x), 8, fl, in_fl, signed))
+                b = np.asarray(
+                    shift_requant_f32(jnp.asarray(x), 8, fl, in_fl, signed)
+                )
+                np.testing.assert_array_equal(a, b, err_msg=str((signed, in_fl, fl)))
+    # ineligibility: f32-exact range exceeded, or left-shift wrap
+    assert not requant_f32_eligible(1 << 24, 0, 4)
+    assert not requant_f32_eligible((1 << 24) - 1, 8, 0)

@@ -265,3 +265,22 @@ def test_dw_int_path_bitexact():
         ref = np.asarray(eng(xi))
         eng2 = IntEngine(model, plan, ip, int_only=True, dw_int=True)
         np.testing.assert_array_equal(np.asarray(eng2(xi)), ref, err_msg=name)
+
+
+def test_f32_requant_engine_bitexact():
+    """The f32 requant fast path (default on) is bit-identical to the pure
+    integer engine on every family, both packing regimes."""
+    for name in ("resnet18", "mobilenet_v1", "mobilenet_v2"):
+        model, params, state, x = _trained_model(name, BASE)
+        plan, ip = bake_plan(model, params, state)
+        eng = IntEngine(model, plan, ip, int_only=True, f32_requant=False)
+        xi = eng.condition_input(x)
+        ref = np.asarray(eng(xi))
+        eng2 = IntEngine(model, plan, ip, int_only=True, f32_requant=True)
+        np.testing.assert_array_equal(np.asarray(eng2(xi)), ref, err_msg=name)
+        # and the fast path actually engages somewhere
+        from f8net_tpu.engine.int_engine import compute_requant_bounds
+        from f8net_tpu.ops import requant_f32_eligible
+
+        bounds = compute_requant_bounds(model, plan, eng2.int_params)
+        assert any(b < (1 << 24) for b in bounds.values()), name
