@@ -123,6 +123,11 @@ def main():
         help="depthwise convs via the s8/s32 int conv instead of the "
         "exact-f32 VPU path (bit-exact; attribution A/B)",
     )
+    ap.add_argument(
+        "--no-f32-requant", action="store_true", default=False,
+        help="disable the bit-exact f32 requant epilogue (pure integer "
+        "shift chains everywhere; A/B of the 1x1 epilogue fix)",
+    )
     args = ap.parse_args()
 
     from f8net_tpu.engine import IntEngine
@@ -155,6 +160,7 @@ def main():
         f32_taps=args.f32_taps, border_bias=args.border_bias,
         maxpool_impl=args.maxpool, stem_kernel=args.stem, stem_s2d=args.s2d,
         pad_channels_to=args.pad_channels, dw_int=args.dw_int,
+        f32_requant=not args.no_f32_requant,
     )
     x = jnp.round(
         255.0
