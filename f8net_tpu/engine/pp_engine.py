@@ -68,7 +68,10 @@ def build_units(model, plan, cfg, maxpool_impl: str = "single"):
     if fam.startswith("resnet"):
         def u_head(w, a):
             a = w.relu_i32(w.conv_int("head", a))
-            return IAct(_maxpool(a.x, 3, 2, 1, impl=maxpool_impl), a.fl)
+            return IAct(
+                _maxpool(a.x, 3, 2, 1, impl=maxpool_impl), a.fl,
+                abs_bound=a.abs_bound,
+            )
 
         units.append(u_head)
         layer_sets.append({"head"})
@@ -195,7 +198,7 @@ class PPEngine:
     def __init__(
         self, model, plan, int_params, mesh: Mesh, microbatches: int,
         axis: str = "pipe", cfg=None, bounds=None, maxpool_impl: str = "single",
-        data_axis: str | None = None,
+        data_axis: str | None = None, f32_requant: bool = True,
     ):
         self.model = model
         self.plan = plan
@@ -214,6 +217,15 @@ class PPEngine:
             sorted(set().union(*layer_sets[a:b])) for a, b in self.bounds
         ]
         ip = add_zero_point_bias(model, plan, int_params)
+        # static per-layer |acc+bias| bounds licensing the bit-exact f32
+        # requant epilogue (int_engine.compute_requant_bounds); the wire
+        # metadata carries each boundary's bound so cross-stage requants
+        # stay eligible too
+        from .int_engine import compute_requant_bounds
+
+        self._rq_bounds = (
+            compute_requant_bounds(model, plan, ip) if f32_requant else None
+        )
         self._pack_params(ip, stage_layers)
         self._programs = {}
 
@@ -261,12 +273,17 @@ class PPEngine:
     # -- stage execution ---------------------------------------------------
 
     def _run_stage(self, s: int, params, x, in_meta):
-        w = _Walker(self.model, self.plan, params, self.cfg, int_only=True)
+        w = _Walker(
+            self.model, self.plan, params, self.cfg, int_only=True,
+            requant_bounds=self._rq_bounds,
+        )
         if s == 0:
-            act = IAct(x.astype(jnp.int32), self.plan["head"].input_fl)
+            act = IAct(
+                x.astype(jnp.int32), self.plan["head"].input_fl, abs_bound=256
+            )
         else:
-            fl, pf = in_meta
-            act = IAct(x, fl, packed_for=pf)
+            fl, pf, ab = in_meta
+            act = IAct(x, fl, packed_for=pf, abs_bound=ab)
         for u in self._stage_units[s]:
             act = u(w, act)
         return act  # IAct, or the logits array from the final unit
@@ -288,7 +305,7 @@ class PPEngine:
             def f(xx, pp, s=s, hold=hold):
                 a = self._run_stage(s, pp, xx, metas[s] and metas[s][2:])
                 if isinstance(a, IAct):
-                    hold["m"] = (a.fl, a.packed_for)
+                    hold["m"] = (a.fl, a.packed_for, a.abs_bound)
                     return a.x
                 return a
 
@@ -319,8 +336,8 @@ class PPEngine:
                 if s == 0:
                     x, meta = sm, None
                 else:
-                    shape, dtype, fl, pf = metas[s]
-                    x, meta = _dec(buf, shape, dtype), (fl, pf)
+                    shape, dtype, fl, pf, ab = metas[s]
+                    x, meta = _dec(buf, shape, dtype), (fl, pf, ab)
                 a = self._run_stage(s, params, x, meta)
                 # every branch's outputs must carry the same "varies over
                 # pipe" type for lax.switch -- pcast the constant halves

@@ -37,7 +37,9 @@ from jax import lax, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..nn.spec import LinearSpec
-from ..ops.fxp import fix_quant, shift_requant
+from ..ops.fxp import (
+    fix_quant, requant_f32_eligible, shift_requant, shift_requant_f32,
+)
 from .int_engine import INT32_MAX, _maxpool, avgpool_shift_for
 
 
@@ -117,13 +119,15 @@ def _conv(x, w, stride, padding, groups, pad_value):
 
 
 class _TAct:
-    __slots__ = ("x", "fl", "packed_for", "sharded")
+    __slots__ = ("x", "fl", "packed_for", "sharded", "abs_bound")
 
-    def __init__(self, x, fl, packed_for=None, sharded=False):
+    def __init__(self, x, fl, packed_for=None, sharded=False, abs_bound=None):
         self.x = x
         self.fl = fl
         self.packed_for = packed_for
         self.sharded = sharded
+        # static |value| proof for the f32 requant fast path (int_engine.IAct)
+        self.abs_bound = abs_bound
 
 
 class _TPWalker:
@@ -131,7 +135,10 @@ class _TPWalker:
     shard_map: params arrive pre-sliced by tp_param_specs, activations are
     tracked as full (replicated over the model axis) or sharded."""
 
-    def __init__(self, model, plan, local_params, cfg, modes, axis, nshard):
+    def __init__(
+        self, model, plan, local_params, cfg, modes, axis, nshard,
+        requant_bounds=None,
+    ):
         self.model = model
         self.graph = model.graph
         self.plan = plan
@@ -140,13 +147,24 @@ class _TPWalker:
         self.modes = modes
         self.axis = axis
         self.nshard = nshard
+        # {layer: static |acc+bias| bound} licensing the bit-exact f32
+        # requant (computed from FULL baked params; valid for any shard: a
+        # row-mode requant runs on the post-psum total == the single-device
+        # accumulator, a col/shard-mode one on a channel subset of it)
+        self.requant_bounds = requant_bounds or {}
 
     def pack_for(self, act: _TAct, name: str) -> _TAct:
         if act.packed_for is not None:
             assert act.packed_for == name
             return act
         pl = self.plan[name]
-        v = shift_requant(act.x, 8, pl.input_fl, act.fl, pl.input_symmetric)
+        rq = shift_requant
+        if (
+            act.abs_bound is not None
+            and requant_f32_eligible(act.abs_bound, pl.input_fl, act.fl)
+        ):
+            rq = shift_requant_f32
+        v = rq(act.x, 8, pl.input_fl, act.fl, pl.input_symmetric)
         v8 = (v if pl.input_symmetric else v - 128).astype(jnp.int8)
         return _TAct(v8, pl.input_fl, packed_for=name, sharded=act.sharded)
 
@@ -189,24 +207,38 @@ class _TPWalker:
         if mode == "row":
             y = lax.psum(y, self.axis)
         y = y + p["b"]
-        out = _TAct(y, pl.out_fl, sharded=mode in ("col", "shard"))
+        out = _TAct(
+            y, pl.out_fl, sharded=mode in ("col", "shard"),
+            abs_bound=self.requant_bounds.get(name),
+        )
         if pack_output_for is not None:
             out = self.pack_for(out, pack_output_for)
         return out
 
     def relu_i32(self, act: _TAct) -> _TAct:
-        return _TAct(jnp.maximum(act.x, 0), act.fl, sharded=act.sharded)
+        return _TAct(
+            jnp.maximum(act.x, 0), act.fl, sharded=act.sharded,
+            abs_bound=act.abs_bound,
+        )
 
     def add_int(self, res: _TAct, x: _TAct) -> _TAct:
         assert not res.sharded and not x.sharded
         r, rf, v, vf = res.x, res.fl, x.x, x.fl
+        br, bv = res.abs_bound, x.abs_bound
         if rf >= vf:
             v = v << (rf - vf)
             out_fl = rf
+            if bv is not None:
+                bv = bv << (rf - vf)
         else:
             r = r << (vf - rf)
             out_fl = vf
-        return _TAct(jnp.clip(r + v, -INT32_MAX, INT32_MAX), out_fl)
+            if br is not None:
+                br = br << (vf - rf)
+        ab = None if (br is None or bv is None) else min(br + bv, INT32_MAX)
+        return _TAct(
+            jnp.clip(r + v, -INT32_MAX, INT32_MAX), out_fl, abs_bound=ab
+        )
 
     def classifier(self, act: _TAct):
         pl = self.plan["classifier"]
@@ -226,15 +258,18 @@ class _TPWalker:
         return y.astype(jnp.float32)
 
 
-def _tp_body(model, plan, cfg, modes, axis, nshard, x, params):
-    w = _TPWalker(model, plan, params, cfg, modes, axis, nshard)
+def _tp_body(model, plan, cfg, modes, axis, nshard, x, params, requant_bounds):
+    w = _TPWalker(
+        model, plan, params, cfg, modes, axis, nshard,
+        requant_bounds=requant_bounds,
+    )
     fam = model.name
     head_pl = plan["head"]
-    a = _TAct(x.astype(jnp.int32), head_pl.input_fl)
+    a = _TAct(x.astype(jnp.int32), head_pl.input_fl, abs_bound=256)
 
     if fam.startswith("resnet"):
         a = w.relu_i32(w.conv_int("head", a))
-        a = _TAct(_maxpool(a.x, 3, 2, 1), a.fl)
+        a = _TAct(_maxpool(a.x, 3, 2, 1), a.fl, abs_bound=a.abs_bound)
         for meta in model.blocks:
             v = a
             for prev, nxt in zip(meta.body[:-1], meta.body[1:]):
@@ -291,17 +326,35 @@ def _tp_body(model, plan, cfg, modes, axis, nshard, x, params):
     return w.classifier(a)
 
 
-def int_forward_tp(model, plan, int_params, x, mesh: Mesh, cfg=None, axis: str = "model"):
+def int_forward_tp(
+    model, plan, int_params, x, mesh: Mesh, cfg=None, axis: str = "model",
+    f32_requant: bool = True,
+):
     """Integer-only TP forward over a Mesh('data','model') with explicit
     collectives (see module docstring).  `x` is the conditioned input as for
     int_forward; int_params the baked {w:int8, b:int32[+b_zp]} pytree (the
-    b_zp entries are ignored -- compensation is recomputed shard-locally)."""
+    b_zp entries are ignored -- compensation is recomputed shard-locally).
+    f32_requant enables the bit-exact f32 requant epilogue on layers whose
+    static accumulator bound proves exactness (int_engine
+    compute_requant_bounds; +35% at model level on MobileNetV2, 1 chip)."""
     import numpy as np
+
+    from .int_engine import add_zero_point_bias, compute_requant_bounds
 
     cfg = cfg or model.cfg
     modes = tp_modes(model)
     nshard = mesh.shape[axis]
     pspecs = tp_param_specs(model, modes, axis)
+    # bounds must see |b_zp| (bias + zero-point compensation) for unsigned-
+    # input layers: the walker adds the recomputed compensation before the
+    # requant, so |acc| <= 128*sum|w| + |b_zp| is the real worst case
+    requant_bounds = (
+        compute_requant_bounds(
+            model, plan, add_zero_point_bias(model, plan, int_params)
+        )
+        if f32_requant
+        else None
+    )
     # bias-less layers (LinearSpec(bias=False)) bake no 'b'; the walker adds
     # p['b'] unconditionally, so substitute zeros of the out dimension
     params = {
@@ -315,7 +368,9 @@ def int_forward_tp(model, plan, int_params, x, mesh: Mesh, cfg=None, axis: str =
     }
 
     def body(xb, pb):
-        return _tp_body(model, plan, cfg, modes, axis, nshard, xb, pb)
+        return _tp_body(
+            model, plan, cfg, modes, axis, nshard, xb, pb, requant_bounds
+        )
 
     fn = shard_map(
         body,

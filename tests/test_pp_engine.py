@@ -168,3 +168,25 @@ def test_pp_wire_cost_matches_compiled_hlo():
         int(np.prod(m[0])) * np.dtype(m[1]).itemsize for m in metas[1:]
     )
     assert sizes[0] == maxbytes, (sizes, maxbytes)
+
+
+def test_pp_engine_f32_requant_bitexact():
+    """f32 requant fast path through the pipeline: stage-internal requants
+    use the walker's static bounds and boundary crossings carry the bound in
+    the wire metadata; both settings must match the pure-integer engine."""
+    import numpy as np
+
+    from f8net_tpu.engine import IntEngine
+
+    model, plan, ip, x = _baked("resnet18")
+    eng = IntEngine(model, plan, ip, f32_requant=False)
+    xi = eng.condition_input(x)
+    ref = np.asarray(eng(xi))
+    mesh = make_pipe_mesh(4)
+    for f32rq in (False, True):
+        pp = PPEngine(
+            model, plan, ip, mesh, microbatches=4, f32_requant=f32rq
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pp(xi)), ref, err_msg=f"f32_requant={f32rq}"
+        )

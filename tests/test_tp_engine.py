@@ -102,3 +102,21 @@ def test_tp_engine_normalized_pipeline():
     xd = jax.device_put(xi, batch_sharding(mesh))
     out = np.asarray(int_forward_tp(model, plan, ip, xd, mesh, cfg))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_tp_engine_f32_requant_bitexact():
+    """The f32 requant fast path (static-bound eligibility) must be
+    bit-equal to the pure-integer shift chain under sharding too -- the
+    bound is computed from FULL weights, so it covers every shard's
+    accumulators (row: the post-psum total; col/shard: a channel subset)."""
+    model, plan, ip, x = _baked("mobilenet_v2")
+    eng = IntEngine(model, plan, ip, f32_requant=False)
+    xi = eng.condition_input(x)
+    ref = np.asarray(eng(xi))
+    mesh = make_mesh(data=2, model=4)
+    xd = jax.device_put(xi, batch_sharding(mesh))
+    for f32rq in (False, True):
+        out = np.asarray(
+            int_forward_tp(model, plan, ip, xd, mesh, CFG, f32_requant=f32rq)
+        )
+        np.testing.assert_array_equal(out, ref, err_msg=f"f32_requant={f32rq}")
