@@ -124,6 +124,11 @@ def main():
         "exact-f32 VPU path (bit-exact; attribution A/B)",
     )
     ap.add_argument(
+        "--dw-taps", action="store_true", default=False,
+        help="depthwise convs as a fused f32 tap chain (one XLA loop "
+        "fusion, int8 in/out; bit-exact under the static bound proof)",
+    )
+    ap.add_argument(
         "--no-f32-requant", action="store_true", default=False,
         help="disable the bit-exact f32 requant epilogue (pure integer "
         "shift chains everywhere; A/B of the 1x1 epilogue fix)",
@@ -160,7 +165,7 @@ def main():
         f32_taps=args.f32_taps, border_bias=args.border_bias,
         maxpool_impl=args.maxpool, stem_kernel=args.stem, stem_s2d=args.s2d,
         pad_channels_to=args.pad_channels, dw_int=args.dw_int,
-        f32_requant=not args.no_f32_requant,
+        dw_taps=args.dw_taps, f32_requant=not args.no_f32_requant,
     )
     x = jnp.round(
         255.0

@@ -31,7 +31,8 @@ from jax import lax
 from ..nn.quant_layers import avgpool_shift_for
 from ..nn.spec import ConvBNSpec
 from ..ops.fxp import (
-    fix_quant, requant_f32_eligible, shift_requant, shift_requant_f32,
+    F32_EXACT_BOUND, fix_quant, requant_f32_eligible, shift_requant,
+    shift_requant_f32,
 )
 
 INT32_MAX = (1 << 31) - 1
@@ -91,6 +92,50 @@ def _conv_int(
         feature_group_count=spec.groups,
         preferred_element_type=accum_dtype,
     )
+
+
+def _dw_taps_f32(x, w, spec: ConvBNSpec, pad_value: int) -> jnp.ndarray:
+    """Depthwise conv as an explicit per-tap f32 multiply-add chain.
+
+    Every op is elementwise (pad + static strided slices + mul + add), so
+    XLA fuses the whole thing -- together with the following bias add and
+    the f32 requant+pack from pack_for -- into ONE loop fusion that reads
+    int8 and writes int8: no conv instruction, no materialized bf16 copy of
+    the activation, no int32 round trip (the _conv_int exact_f32 route
+    pays read-i8 + write/read-bf16 + write-i32 + read-i32 + write-i8).
+
+    Bit-exact: |x8| <= 128 and |w| <= 127 are f32-exact, each product
+    <= 128*127, the k*k-tap sum stays far under 2**24, and the caller gates
+    on the layer's static requant bound (compute_requant_bounds) so the
+    bias add is f32-exact too.  Accumulation order is fixed (tap-major),
+    and f32 addition of exact integers is associative below 2**24, so the
+    result equals the integer conv exactly.
+    """
+    kh, kw = spec.kernel
+    sh, sw = spec.stride
+    ph, pw = spec.padding
+    if ph or pw:
+        x = jnp.pad(
+            x,
+            [(0, 0), (ph, ph), (pw, pw), (0, 0)],
+            constant_values=x.dtype.type(pad_value),
+        )
+    n, hp, wp, c = x.shape
+    oh = (hp - kh) // sh + 1
+    ow = (wp - kw) // sw + 1
+    wf = w.astype(jnp.float32)  # [kh, kw, 1, C]
+    acc = None
+    for ky in range(kh):
+        for kx in range(kw):
+            xs = lax.slice(
+                x,
+                (0, ky, kx, 0),
+                (n, ky + (oh - 1) * sh + 1, kx + (ow - 1) * sw + 1, c),
+                (1, sh, sw, 1),
+            )
+            t = xs.astype(jnp.float32) * wf[ky, kx, 0]
+            acc = t if acc is None else acc + t
+    return acc  # f32 with integral values
 
 
 def _s2d_eligible(spec: ConvBNSpec, x_shape) -> bool:
@@ -305,6 +350,7 @@ class _Walker:
         border_bias: bool = False,
         stem_s2d: bool = False,
         dw_int: bool = False,
+        dw_taps: bool = False,
         requant_bounds=None,
     ):
         self.model = model
@@ -329,6 +375,9 @@ class _Walker:
         # attribution/A-B knob (scripts/mbv2_attrib.py found the hybrid's
         # s32 depthwise cheap while the engine lags)
         self.dw_int = dw_int
+        # depthwise as a fused f32 tap chain (see _dw_taps_f32); requires
+        # requant_bounds for the exactness gate
+        self.dw_taps = dw_taps
         # {layer: static |acc+bias| bound} from the baked params (computed
         # OUTSIDE jit by IntEngine; None disables the f32 requant fast path)
         self.requant_bounds = requant_bounds
@@ -468,6 +517,32 @@ class _Walker:
                 pad_value=pad_value, epilogue="int32",
             )
             return IAct(y, pl.out_fl)
+
+        if (
+            spec.is_depthwise
+            and self.dw_taps
+            and self.int8_operands
+            and self._bound(name) is not None
+            and self._bound(name) < F32_EXACT_BOUND
+        ):
+            # depthwise as a fused f32 tap chain (one XLA loop fusion, int8
+            # in / int8 out); gated on the layer's static requant bound so
+            # every f32 step -- incl. the bias add -- is provably exact
+            if pl.input_symmetric:
+                b, pad_value = p["b"], 0
+            else:
+                b = p.get("b_zp")
+                if b is None:
+                    b = p["b"] + 128 * jnp.sum(
+                        p["w"].astype(jnp.int32), axis=(0, 1, 2)
+                    )
+                pad_value = -128
+            acc = _dw_taps_f32(act.x, p["w"], spec, pad_value)
+            y = (acc + b.astype(jnp.float32)).astype(jnp.int32)
+            out = IAct(y, pl.out_fl, abs_bound=self._bound(name))
+            if pack_output_for is not None:
+                out = self.pack_for(out, pack_output_for)
+            return out
 
         if (
             self.stem_s2d
@@ -784,7 +859,7 @@ def int_forward(
     int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
     border_bias: bool = False, maxpool_impl: str = "single",
     stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
-    dw_int: bool = False, requant_bounds=None,
+    dw_int: bool = False, dw_taps: bool = False, requant_bounds=None,
 ):
     """Integer-only forward.  `x` is the conditioned uint8-range input:
     round(255*image) as int32 (unnormalized pipeline, fraclen 8), or the
@@ -794,7 +869,7 @@ def int_forward(
         int_only=True, int8_operands=int8_operands, use_pallas=use_pallas,
         f32_taps=f32_taps, border_bias=border_bias, maxpool_impl=maxpool_impl,
         stem_kernel=stem_kernel, stem_s2d=stem_s2d, stem_impl=stem_impl,
-        dw_int=dw_int, requant_bounds=requant_bounds,
+        dw_int=dw_int, dw_taps=dw_taps, requant_bounds=requant_bounds,
     )
 
 
@@ -851,13 +926,13 @@ def _forward(
     int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
     border_bias: bool = False, maxpool_impl: str = "single",
     stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
-    dw_int: bool = False, requant_bounds=None,
+    dw_int: bool = False, dw_taps: bool = False, requant_bounds=None,
 ):
     cfg = cfg or model.cfg
     w = _Walker(
         model, plan, int_params, cfg, int_only, int8_operands, use_pallas,
         f32_taps, border_bias, stem_s2d=stem_s2d, dw_int=dw_int,
-        requant_bounds=requant_bounds,
+        dw_taps=dw_taps, requant_bounds=requant_bounds,
     )
     fam = model.name
     head_pl = plan["head"]
@@ -1019,6 +1094,7 @@ class IntEngine:
         stem_impl: Optional[str] = None,
         pad_channels_to: int = 0,
         dw_int: bool = False,
+        dw_taps: bool = False,
         f32_requant: bool = True,
     ):
         if stem_impl is None:
@@ -1054,7 +1130,8 @@ class IntEngine:
                 lambda p, xx: int_forward(
                     self.model, self.plan, p, xx, self.cfg, int8_operands,
                     use_pallas, f32_taps, border_bias, maxpool_impl,
-                    stem_kernel, stem_s2d, stem_impl, dw_int, requant_bounds,
+                    stem_kernel, stem_s2d, stem_impl, dw_int, dw_taps,
+                    requant_bounds,
                 )
             )
         else:

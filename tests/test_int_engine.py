@@ -284,3 +284,28 @@ def test_f32_requant_engine_bitexact():
 
         bounds = compute_requant_bounds(model, plan, eng2.int_params)
         assert any(b < (1 << 24) for b in bounds.values()), name
+
+
+def test_dw_taps_path_bitexact():
+    """Depthwise as the fused f32 tap chain (dw_taps=True) produces
+    identical integers to the default path on both MobileNet families --
+    covers stride-1 and stride-2 depthwise, signed and unsigned inputs
+    (zero-point -128 pads)."""
+    for name in ("mobilenet_v1", "mobilenet_v2"):
+        model, params, state, x = _trained_model(name, BASE)
+        plan, ip = bake_plan(model, params, state)
+        eng = IntEngine(model, plan, ip, int_only=True, dw_taps=False)
+        xi = eng.condition_input(x)
+        ref = np.asarray(eng(xi))
+        eng2 = IntEngine(model, plan, ip, int_only=True, dw_taps=True)
+        np.testing.assert_array_equal(np.asarray(eng2(xi)), ref, err_msg=name)
+        # the taps branch actually engages: every depthwise layer's bound
+        # is within the f32-exact gate on these baked models
+        from f8net_tpu.engine.int_engine import compute_requant_bounds
+
+        bounds = compute_requant_bounds(model, plan, eng2.int_params)
+        dw = [
+            n for n in model.graph.names()
+            if getattr(model.graph[n], "is_depthwise", False)
+        ]
+        assert dw and all(bounds[n] < (1 << 24) for n in dw), name
