@@ -53,12 +53,22 @@ def save(name, text):
 
 
 def mosaic_module(stablehlo_text: str) -> str:
-    """Extract the Mosaic kernel module embedded in tpu_custom_call's
-    backend_config (serialized MLIR, printed inline by lower().as_text())."""
-    # the module is attached as a string attr; grab everything that looks
-    # like the mosaic module body
-    m = re.search(r'(module @\S+ attributes \{[^\n]*mosaic[\s\S]*)', stablehlo_text)
-    return m.group(1) if m else ""
+    """Extract + deserialize the Mosaic kernel module embedded in
+    tpu_custom_call's backend_config: a base64 MLIR-bytecode blob
+    (magic "ML\\xefR", base64 prefix "TUzvUg").  jaxlib's MLIR python
+    bindings parse the bytecode once the tpu dialect is registered."""
+    import base64
+
+    m = re.search(r"(TUzvUg[A-Za-z0-9+/=]{1000,})", stablehlo_text)
+    if not m:
+        return ""
+    raw = base64.b64decode(m.group(1))
+    from jaxlib.mlir import ir
+    import jaxlib.mosaic.python.tpu  # noqa: F401  (registers the tpu dialect)
+
+    ctx = ir.Context()
+    ctx.allow_unregistered_dialects = True
+    return str(ir.Module.parse(raw, ctx))
 
 
 def analyze_mosaic(txt: str):
@@ -147,6 +157,13 @@ def main():
     for line in ctxt.splitlines():
         if "convolution" in line and "=" in line:
             print("  " + line.strip()[:160])
+            break
+    # the smoking gun: the TPU backend's conv-emitter choice + window
+    # schedule live in the kOutput fusion's backend_config
+    for key in ("emitter", "window_config", "estimated_cycles",
+                "used_scoped_memory_configs"):
+        for mm in re.finditer(key + r'"?:\s*("?[^,}]*)', ctxt):
+            print(f"  {key}: {mm.group(1)[:120]}")
             break
     if DUMP:
         files = sorted(os.listdir(DUMP))
