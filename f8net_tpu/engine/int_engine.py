@@ -396,7 +396,9 @@ class _Walker:
         rq = shift_requant
         if (
             act.abs_bound is not None
-            and requant_f32_eligible(act.abs_bound, pl.input_fl, act.fl)
+            and requant_f32_eligible(
+                act.abs_bound, pl.input_fl, act.fl, 8, pl.input_symmetric
+            )
         ):
             # bit-exact f32 requant: at 1x1 arithmetic intensity the integer
             # shift/round chain is the measured epilogue bottleneck

@@ -161,7 +161,9 @@ class _TPWalker:
         rq = shift_requant
         if (
             act.abs_bound is not None
-            and requant_f32_eligible(act.abs_bound, pl.input_fl, act.fl)
+            and requant_f32_eligible(
+                act.abs_bound, pl.input_fl, act.fl, 8, pl.input_symmetric
+            )
         ):
             rq = shift_requant_f32
         v = rq(act.x, 8, pl.input_fl, act.fl, pl.input_symmetric)
@@ -326,35 +328,59 @@ def _tp_body(model, plan, cfg, modes, axis, nshard, x, params, requant_bounds):
     return w.classifier(a)
 
 
+def tp_requant_bounds(model, plan, int_params):
+    """Static per-layer |acc| bounds licensing the f32 requant epilogue in
+    the TP walker: 128*sum|w| plus |b_zp| (the walker adds the recomputed
+    zero-point compensation before the requant, so that IS the worst case).
+    Needs CONCRETE host-visible params -- compute OUTSIDE jit (and, in
+    multi-process runs, from the process-local copy before sharding) and
+    pass the result via int_forward_tp(requant_bounds=...)."""
+    from .int_engine import add_zero_point_bias, compute_requant_bounds
+
+    return compute_requant_bounds(
+        model, plan, add_zero_point_bias(model, plan, int_params)
+    )
+
+
+def _params_concrete(int_params):
+    """True when every leaf can be read on this host: not a jit tracer and
+    not a multi-process global array with remote shards."""
+    import jax
+
+    for leaf in jax.tree_util.tree_leaves(int_params):
+        if isinstance(leaf, jax.core.Tracer):
+            return False
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            return False
+    return True
+
+
 def int_forward_tp(
     model, plan, int_params, x, mesh: Mesh, cfg=None, axis: str = "model",
-    f32_requant: bool = True,
+    f32_requant: bool = True, requant_bounds=None,
 ):
     """Integer-only TP forward over a Mesh('data','model') with explicit
     collectives (see module docstring).  `x` is the conditioned input as for
     int_forward; int_params the baked {w:int8, b:int32[+b_zp]} pytree (the
     b_zp entries are ignored -- compensation is recomputed shard-locally).
     f32_requant enables the bit-exact f32 requant epilogue on layers whose
-    static accumulator bound proves exactness (int_engine
-    compute_requant_bounds; +35% at model level on MobileNetV2, 1 chip)."""
+    static accumulator bound proves exactness (tp_requant_bounds; +35% at
+    model level on MobileNetV2, 1 chip).  The bounds are Python ints and
+    must come from concrete params: when this function is traced under an
+    outer jit (params are tracers) or the params' shards span processes,
+    pass precomputed `requant_bounds=tp_requant_bounds(...)` -- otherwise
+    the walker falls back to the pure-integer requant (bit-identical, just
+    slower)."""
     import numpy as np
-
-    from .int_engine import add_zero_point_bias, compute_requant_bounds
 
     cfg = cfg or model.cfg
     modes = tp_modes(model)
     nshard = mesh.shape[axis]
     pspecs = tp_param_specs(model, modes, axis)
-    # bounds must see |b_zp| (bias + zero-point compensation) for unsigned-
-    # input layers: the walker adds the recomputed compensation before the
-    # requant, so |acc| <= 128*sum|w| + |b_zp| is the real worst case
-    requant_bounds = (
-        compute_requant_bounds(
-            model, plan, add_zero_point_bias(model, plan, int_params)
-        )
-        if f32_requant
-        else None
-    )
+    if requant_bounds is None and f32_requant and _params_concrete(int_params):
+        requant_bounds = tp_requant_bounds(model, plan, int_params)
+    if not f32_requant:
+        requant_bounds = None
     # bias-less layers (LinearSpec(bias=False)) bake no 'b'; the walker adds
     # p['b'] unconditionally, so substitute zeros of the out dimension
     params = {

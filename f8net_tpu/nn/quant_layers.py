@@ -420,7 +420,15 @@ def conv_bn_apply(
     bn_scale = gamma / bn_std
 
     if cfg.floating_wo_clip:
-        y = _conv2d(x_val, w * bn_scale, spec) + (beta - bn_scale * bn_mean)
+        if training:
+            # vanilla baseline: ONE conv, batch-stat normalization of its
+            # output -- the graph a user trains without this framework.
+            # (Re-running the conv with folded weights, as the QAT path
+            # must, would silently double the baseline's conv cost and
+            # corrupt the QAT/baseline overhead ratio.)
+            y = bn_scale * (y0 - bn_mean) + beta
+        else:
+            y = _conv2d(x_val, w * bn_scale, spec) + (beta - bn_scale * bn_mean)
         return Act(y, None), updates
 
     # --- fold, quantize weight, bias -----------------------------------------

@@ -158,18 +158,52 @@ def shift_requant(
 F32_EXACT_BOUND = 1 << 24  # int32 values |x| < 2^24 are exact in float32
 
 
-def requant_f32_eligible(abs_bound: int, fl: int, input_fl: int) -> bool:
+def requant_f32_eligible(
+    abs_bound: int, fl: int, input_fl: int, wl: int = 8, signed: bool = True
+) -> bool:
     """True when shift_requant_f32 is bit-identical to shift_requant for
-    every input with |x| <= abs_bound: the input must be f32-exact AND a
-    left-shift (net < 0) must not wrap int32 (the integer path wraps on
-    overflow; the float path saturates -- property-tested in
-    tests/test_fxp.py)."""
+    every input with |x| <= abs_bound.
+
+    Two regimes (both property-tested in tests/test_fxp.py):
+
+    * abs_bound < 2^24: the input casts to f32 exactly, so the whole
+      computation is exact.  A left shift (net < 0) must additionally not
+      wrap int32 (the integer path wraps on overflow; the float path
+      saturates).
+
+    * abs_bound >= 2^24 (saturation regime): inputs below 2^24 are exact
+      as above; inputs with |x| >= 2^24 lose low bits in the f32 cast,
+      but BOTH paths clamp them to the same saturated output whenever the
+      smallest such input already clears the clamp:
+
+        - net > 0 (right shift): r(2^24) = 2^(24-net) exactly in both
+          paths (2^24 is f32-exact and divides evenly), and both paths
+          are monotone in x, so every |x| >= 2^24 saturates iff
+          2^(24-net) > clamp_hi.  Signed wl=8 (clamp 127): net <= 17;
+          unsigned (clamp 255): net <= 16.
+        - net <= 0: the result magnitude only grows, so every
+          |x| >= 2^24 > clamp_hi saturates in both paths -- provided the
+          integer left shift cannot wrap.
+
+      This licenses the f32 fast path on the wide accumulators (e.g.
+      ResNet50's C_in=2048 1x1s, bound ~2^25) that the exactness-only
+      rule excluded.
+
+    In BOTH regimes the integer path's own arithmetic must not wrap
+    int32: for net > 0 it adds the rounding bias (x + 2^(net-1)), so
+    abs_bound + 2^(net-1) must stay below 2^31 (at x near INT32_MAX the
+    integer path wraps negative and clamps LOW while f32 clamps HIGH --
+    pinned by the tightness test); for net < 0 the left shift must fit.
+    """
     net = input_fl - fl
-    if abs_bound >= F32_EXACT_BOUND:
-        return False
-    if net < 0 and (abs_bound << -net) >= (1 << 31):
-        return False
-    return True
+    if net > 0:
+        if abs_bound + (1 << (net - 1)) >= (1 << 31):
+            return False
+        if abs_bound < F32_EXACT_BOUND:
+            return True
+        clamp_hi = (1 << (wl - 1)) - 1 if signed else (1 << wl) - 1
+        return net <= 24 and (1 << (24 - net)) > clamp_hi
+    return (abs_bound << -net) < (1 << 31)
 
 
 def shift_requant_f32(

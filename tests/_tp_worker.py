@@ -71,7 +71,12 @@ def main():
     }
     xg = put(np.asarray(xi), P("data"))
 
-    out = int_forward_tp(model, plan, ipg, xg, mesh, cfg)
+    # bounds from the process-LOCAL baked params (the global arrays' shards
+    # span processes, so they cannot be read back on any single host)
+    from f8net_tpu.engine.tp_engine import tp_requant_bounds
+
+    bounds = tp_requant_bounds(model, plan, ip)
+    out = int_forward_tp(model, plan, ipg, xg, mesh, cfg, requant_bounds=bounds)
     local = np.asarray(out.addressable_shards[0].data)
     assert local.shape == ref.shape, (local.shape, ref.shape)
     np.testing.assert_array_equal(local, ref)

@@ -225,6 +225,74 @@ def test_shift_requant_f32_bitexact_under_bound():
                     shift_requant_f32(jnp.asarray(x), 8, fl, in_fl, signed)
                 )
                 np.testing.assert_array_equal(a, b, err_msg=str((signed, in_fl, fl)))
-    # ineligibility: f32-exact range exceeded, or left-shift wrap
-    assert not requant_f32_eligible(1 << 24, 0, 4)
+    # ineligibility: left-shift wrap
     assert not requant_f32_eligible((1 << 24) - 1, 8, 0)
+
+
+def test_requant_f32_saturation_regime():
+    """abs_bound >= 2^24 (saturation regime, ops/fxp.py): the f32 path
+    stays bit-identical because every |x| >= 2^24 saturates the clamp in
+    both paths.  Adversaries: a dense band straddling the 2^24 exactness
+    edge, rounding-boundary +-2 neighborhoods across [2^24, 2^31) (where
+    the f32 cast error could flip the rounded quotient), the clamp-
+    crossing region, and a random spray -- all mirrored negative.  Also
+    pins the gate's tightness: one step past the net limit a REAL
+    mismatch exists, so the limit is load-bearing."""
+    import numpy as np
+
+    from f8net_tpu.ops import (
+        requant_f32_eligible, shift_requant, shift_requant_f32,
+    )
+
+    rng = np.random.RandomState(11)
+    imax = (1 << 31) - 1
+    for signed, net_max in ((True, 17), (False, 16)):
+        hi = 127 if signed else 255
+        for net in (1, 7, net_max):
+            fl, in_fl = 0, net
+            # the integer path's rounding bias (x + 2^(net-1)) must not
+            # wrap int32, so the largest licensable bound is:
+            bmax = imax - (1 << (net - 1))
+            assert requant_f32_eligible(bmax, fl, in_fl, 8, signed)
+            assert not requant_f32_eligible(bmax + 1, fl, in_fl, 8, signed)
+            band = np.arange(
+                (1 << 24) - 4096, (1 << 24) + 4096, dtype=np.int64
+            )
+            k = rng.randint(
+                1 << max(24 - net, 0), (bmax >> net) - 1, 4096
+            ).astype(np.int64)
+            adv = (k << net) + (1 << (net - 1))
+            adv = np.concatenate([adv - 2, adv - 1, adv, adv + 1, adv + 2])
+            cross = np.arange(
+                (hi - 2) << net, min((hi + 3) << net, bmax), dtype=np.int64
+            )[:20000]
+            spray = rng.randint(1 << 24, bmax, 8192).astype(np.int64)
+            top = np.arange(bmax - 4096, bmax + 1, dtype=np.int64)
+            x = np.clip(
+                np.concatenate([band, adv, cross, spray, top]), 0, bmax
+            )
+            x = np.concatenate([x, -x]).astype(np.int32)
+            a = np.asarray(shift_requant(jnp.asarray(x), 8, fl, in_fl, signed))
+            b = np.asarray(
+                shift_requant_f32(jnp.asarray(x), 8, fl, in_fl, signed)
+            )
+            np.testing.assert_array_equal(a, b, err_msg=str((signed, net)))
+        # one past the net limit: the gate must refuse, and a genuine
+        # mismatch exists in the no-longer-saturating range
+        assert not requant_f32_eligible(1 << 24, 0, net_max + 1, 8, signed)
+        x = np.arange(1 << 24, (1 << 24) + (1 << 20), dtype=np.int32)
+        a = np.asarray(shift_requant(jnp.asarray(x), 8, 0, net_max + 1, signed))
+        b = np.asarray(
+            shift_requant_f32(jnp.asarray(x), 8, 0, net_max + 1, signed)
+        )
+        assert (a != b).any(), ("expected a mismatch past the gate", signed)
+        # past the WRAP limit: the integer path wraps negative at the top
+        # of int32 and clamps LOW while f32 clamps HIGH
+        net = net_max
+        xw = np.arange(imax - (1 << (net - 1)) + 1, imax, dtype=np.int64)
+        xw = xw.astype(np.int32)
+        a = np.asarray(shift_requant(jnp.asarray(xw), 8, 0, net, signed))
+        b = np.asarray(shift_requant_f32(jnp.asarray(xw), 8, 0, net, signed))
+        assert (a != b).any(), ("expected a wrap mismatch", signed)
+    # saturation regime still refuses a wrapping left shift
+    assert not requant_f32_eligible(1 << 25, 8, 2, 8, True)

@@ -51,9 +51,22 @@ def test_tp_engine_bitexact_vs_single_device(name, dp, tp):
 
     mesh = make_mesh(data=dp, model=tp)
     xd = jax.device_put(xi, batch_sharding(mesh))
-    fwd = jax.jit(lambda v, p: int_forward_tp(model, plan, p, v, mesh, CFG))
+    # params are tracers under jit, so the f32-requant bounds must be
+    # precomputed outside and closed over (they are static Python ints)
+    from f8net_tpu.engine.tp_engine import tp_requant_bounds
+
+    bounds = tp_requant_bounds(model, plan, ip)
+    fwd = jax.jit(
+        lambda v, p: int_forward_tp(
+            model, plan, p, v, mesh, CFG, requant_bounds=bounds
+        )
+    )
     out = np.asarray(fwd(xd, ip))
     np.testing.assert_array_equal(out, ref)
+    # and without bounds: the walker must silently fall back to the pure
+    # integer requant under traced params -- still bit-identical
+    fwd2 = jax.jit(lambda v, p: int_forward_tp(model, plan, p, v, mesh, CFG))
+    np.testing.assert_array_equal(np.asarray(fwd2(xd, ip)), ref)
 
 
 def test_tp_engine_collective_structure():
