@@ -40,14 +40,35 @@ from f8net_tpu.utils import QuantConfig
 from f8net_tpu.utils.config import TrainConfig
 
 
-def timeit(fn, iters=3, warmup=1):
-    for _ in range(warmup):
-        jax.block_until_ready(fn())
+def timeit_chain(advance, n_short=2, n_long=10):
+    """Per-step time from the DELTA of two chain lengths.  `advance(n)`
+    runs n train steps chained through their own updated (params, state,
+    opt), never resetting the carry -- so every step ever issued in the
+    session has unique inputs.  Two relay pathologies this defeats (both
+    hit earlier versions of this script, see docs/BENCHMARKS.md):
+
+      * replay: identical (executable, inputs) calls are served from the
+        relay's cache -- repeated same-input steps measured 0.9 ms/step,
+        and chains restarting from the same initial params would replay
+        wholesale from round 1 on.
+      * early-ready: block_until_ready on one output buffer (the loss)
+        returns before the rest of the step drains.  The chain's data
+        dependence serializes real execution regardless of readiness
+        claims, and differencing two lengths cancels the final fetch.
+    """
+    advance(1)  # warm / absorb any pending state
     t0 = time.perf_counter()
-    for _ in range(iters):
-        o = fn()
-    jax.block_until_ready(o)
-    return (time.perf_counter() - t0) / iters
+    advance(n_short)
+    t1 = time.perf_counter()
+    advance(n_long)
+    t2 = time.perf_counter()
+    if os.environ.get("F8NET_CHAIN_DEBUG"):
+        print(
+            f"    raw: adv{n_short}={1e3*(t1-t0):.1f}ms "
+            f"adv{n_long}={1e3*(t2-t1):.1f}ms",
+            flush=True,
+        )
+    return ((t2 - t1) - (t1 - t0)) / (n_long - n_short)
 
 
 CFGS = {
@@ -60,8 +81,13 @@ CFGS = {
 def main():
     print("devices:", jax.devices(), flush=True)
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    for name in ("resnet18", "mobilenet_v2"):
+    model_list = tuple(
+        m for m in ("resnet18", "mobilenet_v2")
+        if m in os.environ.get("F8NET_MODELS", "resnet18,mobilenet_v2")
+    )
+    for name in model_list:
         runs = {}
+        carries = {}
         for label, cfg in CFGS.items():
             model = get_model(name, cfg, num_classes=1000)
             tcfg = TrainConfig(
@@ -73,34 +99,50 @@ def main():
             x = jax.random.uniform(jax.random.PRNGKey(1), (bs, 224, 224, 3))
             y = jax.random.randint(jax.random.PRNGKey(2), (bs,), 0, 1000)
             step = make_train_step(model, cfg, tcfg)
+            carry = {"c": (params, state, opt), "loss": None}
 
-            def run(step=step, params=params, state0=state, opt=opt, x=x, y=y):
-                p = jax.tree_util.tree_map(jnp.copy, params)
-                s = jax.tree_util.tree_map(jnp.copy, state0)
-                o = jax.tree_util.tree_map(jnp.copy, opt)
-                return step(p, s, o, x, y, 0.1)[3]["loss"]
+            def advance(n, step=step, carry=carry, xx=x, yy=y):
+                c = carry["c"]
+                for _ in range(n):
+                    p, s, o, m = step(*c, xx, yy, 1e-4)
+                    c = (p, s, o)
+                carry["c"] = c
+                # FETCH the loss: proves the chain really executed (the
+                # relay has been caught claiming readiness early); an
+                # evolving loss sequence is the execution receipt
+                carry["loss"] = float(m["loss"])
 
-            runs[label] = run
-            jax.block_until_ready(run())  # compile now
-            print(f"  {name}/{label}: compiled", flush=True)
+            runs[label] = advance
+            carries[label] = carry
+            advance(1)  # compile now
+            print(
+                f"  {name}/{label}: compiled (loss {carry['loss']:.4f})",
+                flush=True,
+            )
 
         labels = list(runs)
         ts = {k: [] for k in labels}
-        for _ in range(4):  # interleaved rounds
+        for r in range(6):  # interleaved rounds
             for k in labels:
-                ts[k].append(timeit(runs[k]))
+                ts[k].append(timeit_chain(runs[k]))
+            print(
+                f"  round {r}: "
+                + "  ".join(f"{k}={ts[k][-1]*1e3:.1f}ms" for k in labels)
+                + "  losses: "
+                + " ".join(f"{carries[k]['loss']:.4f}" for k in labels),
+                flush=True,
+            )
         med = lambda v: sorted(v)[len(v) // 2]
-        t_plain = med(ts["plain"])
         for k in labels:
             t = med(ts[k])
             ratios = sorted(
-                tp / tk for tp, tk in zip(ts["plain"], ts[k])
+                tk / tp for tp, tk in zip(ts["plain"], ts[k])
             )
             r = ratios[len(ratios) // 2]
             print(
                 f"{name} b{bs} {k:7s}: {t*1e3:8.2f} ms/step "
-                f"({bs/t:8.1f} img/s)  vs plain x{r:.3f} "
-                f"(overhead {100*(1/r-1):+.1f}%)",
+                f"({bs/t:8.1f} img/s)  cost vs plain x{r:.3f} "
+                f"(overhead {100*(r-1):+.1f}%)",
                 flush=True,
             )
 
