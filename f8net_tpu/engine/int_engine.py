@@ -352,6 +352,7 @@ class _Walker:
         dw_int: bool = False,
         dw_taps: bool = False,
         requant_bounds=None,
+        requant_log=None,
     ):
         self.model = model
         self.graph = model.graph
@@ -381,6 +382,10 @@ class _Walker:
         # {layer: static |acc+bias| bound} from the baked params (computed
         # OUTSIDE jit by IntEngine; None disables the f32 requant fast path)
         self.requant_bounds = requant_bounds
+        # optional audit sink: pack_for appends (consumer, 'f32'|'int',
+        # abs_bound) per requant decision -- decisions are trace-time static,
+        # so one abstract trace (audit_requant_forms) captures them all
+        self.requant_log = requant_log
 
     # -- integer path -------------------------------------------------------
 
@@ -404,6 +409,10 @@ class _Walker:
             # shift/round chain is the measured epilogue bottleneck
             # (docs/BENCHMARKS.md round-3 SoL table)
             rq = shift_requant_f32
+        if self.requant_log is not None:
+            self.requant_log.append(
+                (name, "f32" if rq is shift_requant_f32 else "int", act.abs_bound)
+            )
         v = rq(act.x, 8, pl.input_fl, act.fl, pl.input_symmetric)
         if not self.int8_operands:
             return IAct(v, pl.input_fl, packed_for=name)
@@ -862,6 +871,7 @@ def int_forward(
     border_bias: bool = False, maxpool_impl: str = "single",
     stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
     dw_int: bool = False, dw_taps: bool = False, requant_bounds=None,
+    requant_log=None,
 ):
     """Integer-only forward.  `x` is the conditioned uint8-range input:
     round(255*image) as int32 (unnormalized pipeline, fraclen 8), or the
@@ -872,6 +882,7 @@ def int_forward(
         f32_taps=f32_taps, border_bias=border_bias, maxpool_impl=maxpool_impl,
         stem_kernel=stem_kernel, stem_s2d=stem_s2d, stem_impl=stem_impl,
         dw_int=dw_int, dw_taps=dw_taps, requant_bounds=requant_bounds,
+        requant_log=requant_log,
     )
 
 
@@ -929,12 +940,14 @@ def _forward(
     border_bias: bool = False, maxpool_impl: str = "single",
     stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
     dw_int: bool = False, dw_taps: bool = False, requant_bounds=None,
+    requant_log=None,
 ):
     cfg = cfg or model.cfg
     w = _Walker(
         model, plan, int_params, cfg, int_only, int8_operands, use_pallas,
         f32_taps, border_bias, stem_s2d=stem_s2d, dw_int=dw_int,
         dw_taps=dw_taps, requant_bounds=requant_bounds,
+        requant_log=requant_log,
     )
     fam = model.name
     head_pl = plan["head"]
@@ -992,7 +1005,8 @@ def _forward(
                         be, bo, w192, int_params["head"]["b"] + comp,
                         conv_h=x.shape[1] // 2, valid_w=x.shape[1] // 4,
                     )
-                a = IAct(pooled, head_pl.out_fl)
+                # relu+maxpool preserve the head's static |acc+bias| bound
+                a = IAct(pooled, head_pl.out_fl, abs_bound=w._bound("head"))
             else:
                 a = w.relu_i32(w.conv_int("head", a))
                 a = IAct(
@@ -1024,9 +1038,19 @@ def _forward(
         # global average pool (shift derived from the built pool extent,
         # fix_quant_ops.py:117-124)
         if cfg.quant_avgpool:
+            # the H*W-element sum multiplies the static bound by the pool
+            # extent (trace-time shape), keeping the classifier-input requant
+            # eligible for the f32 form; requant_f32_eligible itself rejects
+            # any bound too large to be meaningful, so this is always safe
+            ab = (
+                None
+                if a.abs_bound is None
+                else a.abs_bound * a.x.shape[1] * a.x.shape[2]
+            )
             a = IAct(
                 jnp.sum(a.x, (1, 2)),
                 a.fl + avgpool_shift_for(getattr(model, "pool_kernel", 7)),
+                abs_bound=ab,
             )
         else:
             # reference falls back to float mean on this path
@@ -1127,13 +1151,17 @@ class IntEngine:
             if (int_only and f32_requant)
             else None
         )
+        self._fwd_kwargs = dict(
+            int8_operands=int8_operands, use_pallas=use_pallas,
+            f32_taps=f32_taps, border_bias=border_bias,
+            maxpool_impl=maxpool_impl, stem_kernel=stem_kernel,
+            stem_s2d=stem_s2d, stem_impl=stem_impl, dw_int=dw_int,
+            dw_taps=dw_taps, requant_bounds=requant_bounds,
+        )
         if int_only:
             self._jit = jax.jit(
                 lambda p, xx: int_forward(
-                    self.model, self.plan, p, xx, self.cfg, int8_operands,
-                    use_pallas, f32_taps, border_bias, maxpool_impl,
-                    stem_kernel, stem_s2d, stem_impl, dw_int, dw_taps,
-                    requant_bounds,
+                    self.model, self.plan, p, xx, self.cfg, **self._fwd_kwargs
                 )
             )
         else:
@@ -1143,6 +1171,27 @@ class IntEngine:
 
     def __call__(self, x):
         return self._jit(self.int_params, x)
+
+    def audit_requant_forms(self, x):
+        """Which execution form does each requant take, and why.
+
+        Requant decisions are trace-time static (the bound, the fraclens and
+        the eligibility rule are all Python ints), so ONE abstract trace
+        (jax.eval_shape -- no compile, no device) captures every decision the
+        jitted engine will bake in.  Returns [(consumer_layer, 'f32'|'int',
+        abs_bound_or_None)] in execution order; `x` is a conditioned input
+        (condition_input output) or anything of the same shape/dtype."""
+        if not self.int_only:
+            raise ValueError("audit_requant_forms: integer engine only")
+        log = []
+        jax.eval_shape(
+            lambda p, xx: int_forward(
+                self.model, self.plan, p, xx, self.cfg,
+                requant_log=log, **self._fwd_kwargs,
+            ),
+            self.int_params, x,
+        )
+        return log
 
     def condition_input(self, images):
         """Reference input conditioning (fix_train.py:676-694): images in

@@ -131,7 +131,17 @@ def build_units(model, plan, cfg, maxpool_impl: str = "single"):
 
     def u_final(w, a):
         if cfg.quant_avgpool:
-            a = IAct(jnp.sum(a.x, (1, 2)), a.fl + avgpool_shift_for(pk))
+            # pool sum scales the static bound by the extent (see int_engine)
+            ab = (
+                None
+                if a.abs_bound is None
+                else a.abs_bound * a.x.shape[1] * a.x.shape[2]
+            )
+            a = IAct(
+                jnp.sum(a.x, (1, 2)),
+                a.fl + avgpool_shift_for(pk),
+                abs_bound=ab,
+            )
         else:
             m = jnp.mean(a.x.astype(jnp.float32), (1, 2)) / 2.0**a.fl
             pl = plan["classifier"]

@@ -311,10 +311,19 @@ def _tp_body(model, plan, cfg, modes, axis, nshard, x, params, requant_bounds):
         a = w.relu_i32(w.conv_int("tail", a))
 
     if cfg.quant_avgpool:
+        # the pool sum scales the static bound by the (trace-time) extent,
+        # keeping the classifier-input requant f32-eligible; the eligibility
+        # rule rejects oversized bounds itself, so this is always safe
+        ab = (
+            None
+            if a.abs_bound is None
+            else a.abs_bound * a.x.shape[1] * a.x.shape[2]
+        )
         a = _TAct(
             jnp.sum(a.x, (1, 2)),
             a.fl + avgpool_shift_for(getattr(model, "pool_kernel", 7)),
             sharded=a.sharded,
+            abs_bound=ab,
         )
     else:
         m = jnp.mean(a.x.astype(jnp.float32), (1, 2)) / 2.0**a.fl

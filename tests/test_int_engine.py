@@ -286,6 +286,34 @@ def test_f32_requant_engine_bitexact():
         assert any(b < (1 << 24) for b in bounds.values()), name
 
 
+@pytest.mark.parametrize(
+    "name", ["resnet18", "resnet50", "mobilenet_v1", "mobilenet_v2"]
+)
+def test_requant_form_audit(name):
+    """audit_requant_forms captures every static requant decision via one
+    abstract trace, every requant carries a bound (VERDICT r3 #5: bounds are
+    propagated through relu/maxpool/add AND the avgpool sum, so the
+    classifier-input requant -- previously always integer -- is eligible
+    too), and at these model sizes the eligibility rule accepts every
+    requant: no integer-form stragglers remain."""
+    model, params, state, x = _trained_model(name, BASE)
+    plan, ip = bake_plan(model, params, state)
+    eng = IntEngine(model, plan, ip, int_only=True)
+    xi = eng.condition_input(x)
+    log = eng.audit_requant_forms(xi)
+    assert log, name
+    consumers = [c for c, _, _ in log]
+    # the classifier pack (fed by the avgpool sum) is audited and f32
+    assert "classifier" in consumers, consumers
+    assert all(b is not None for _, _, b in log), log
+    stragglers = [(c, b) for c, f, b in log if f == "int"]
+    assert not stragglers, stragglers
+    # the audit is pure bookkeeping: engine output is unchanged and
+    # bit-equal to the pure-integer form
+    eng0 = IntEngine(model, plan, ip, int_only=True, f32_requant=False)
+    np.testing.assert_array_equal(np.asarray(eng(xi)), np.asarray(eng0(xi)))
+
+
 def test_dw_taps_path_bitexact():
     """Depthwise as the fused f32 tap chain (dw_taps=True) produces
     identical integers to the default path on both MobileNet families --
