@@ -129,6 +129,12 @@ def main():
         "fusion, int8 in/out; bit-exact under the static bound proof)",
     )
     ap.add_argument(
+        "--mxu-bf16", choices=["", "1x1", "eligible"], default="",
+        help="run bound-eligible dense convs with bf16 operands + f32 "
+        "accumulation on the MXU (bit-exact under the same static bound "
+        "that licenses the f32 requant; '1x1' = pointwise only)",
+    )
+    ap.add_argument(
         "--no-f32-requant", action="store_true", default=False,
         help="disable the bit-exact f32 requant epilogue (pure integer "
         "shift chains everywhere; A/B of the 1x1 epilogue fix)",
@@ -166,6 +172,7 @@ def main():
         maxpool_impl=args.maxpool, stem_kernel=args.stem, stem_s2d=args.s2d,
         pad_channels_to=args.pad_channels, dw_int=args.dw_int,
         dw_taps=args.dw_taps, f32_requant=not args.no_f32_requant,
+        mxu_bf16=args.mxu_bf16,
     )
     x = jnp.round(
         255.0

@@ -351,6 +351,7 @@ class _Walker:
         stem_s2d: bool = False,
         dw_int: bool = False,
         dw_taps: bool = False,
+        mxu_bf16: str = "",
         requant_bounds=None,
         requant_log=None,
     ):
@@ -379,6 +380,19 @@ class _Walker:
         # depthwise as a fused f32 tap chain (see _dw_taps_f32); requires
         # requant_bounds for the exactness gate
         self.dw_taps = dw_taps
+        # bf16-OPERAND convs on the MXU for bound-eligible dense convs:
+        # '' off, '1x1' pointwise only, 'eligible' every qualifying conv.
+        # int8 values are exact in bf16 (|v| <= 128 < 2^8 significand), MXU
+        # products accumulate in f32, and f32 integer accumulation is exact
+        # below 2^24 -- the SAME static bound (128*sum|w| + |b|, computed
+        # from the baked params) that licenses the f32 requant epilogue, so
+        # the conv is bit-identical to the s8->s32 form wherever the gate
+        # passes.  Motivation: the chip has no int8 MXU rate advantage and
+        # XLA has no s8 conv emitters (s32 convs, docs/BENCHMARKS.md); with
+        # the requant epilogue already f32, the remaining 1x1 deficit is the
+        # s32 conv emitter itself, and this runs those layers through the
+        # same bf16 emitters the baseline uses.
+        self.mxu_bf16 = mxu_bf16
         # {layer: static |acc+bias| bound} from the baked params (computed
         # OUTSIDE jit by IntEngine; None disables the f32 requant fast path)
         self.requant_bounds = requant_bounds
@@ -475,10 +489,23 @@ class _Walker:
         # 1x1/3x3 convs with real channel counts stay on the int8 matmul path.
         kh, kw = spec.kernel
         taps = kh * kw * (spec.in_ch // spec.groups)
+        bound = self._bound(name)
+        mxu_ok = (
+            bool(self.mxu_bf16)
+            and self.int8_operands
+            and spec.groups == 1
+            and bound is not None
+            and bound < F32_EXACT_BOUND  # exactness regime ONLY: the
+            # saturation regime licenses the f32 REQUANT of an exact int32
+            # accumulator, but an f32-accumulated conv past 2^24 is itself
+            # inexact, so it cannot ride that proof
+            and (self.mxu_bf16 == "eligible" or (kh, kw) == (1, 1))
+        )
         exact_f32 = (
             (spec.is_depthwise and not self.dw_int)
             or spec.in_ch <= 8
             or taps <= self.f32_taps
+            or mxu_ok
         )
 
         if (
@@ -870,8 +897,8 @@ def int_forward(
     int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
     border_bias: bool = False, maxpool_impl: str = "single",
     stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
-    dw_int: bool = False, dw_taps: bool = False, requant_bounds=None,
-    requant_log=None,
+    dw_int: bool = False, dw_taps: bool = False, mxu_bf16: str = "",
+    requant_bounds=None, requant_log=None,
 ):
     """Integer-only forward.  `x` is the conditioned uint8-range input:
     round(255*image) as int32 (unnormalized pipeline, fraclen 8), or the
@@ -881,8 +908,8 @@ def int_forward(
         int_only=True, int8_operands=int8_operands, use_pallas=use_pallas,
         f32_taps=f32_taps, border_bias=border_bias, maxpool_impl=maxpool_impl,
         stem_kernel=stem_kernel, stem_s2d=stem_s2d, stem_impl=stem_impl,
-        dw_int=dw_int, dw_taps=dw_taps, requant_bounds=requant_bounds,
-        requant_log=requant_log,
+        dw_int=dw_int, dw_taps=dw_taps, mxu_bf16=mxu_bf16,
+        requant_bounds=requant_bounds, requant_log=requant_log,
     )
 
 
@@ -939,14 +966,14 @@ def _forward(
     int8_operands: bool = True, use_pallas: bool = False, f32_taps: int = 0,
     border_bias: bool = False, maxpool_impl: str = "single",
     stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
-    dw_int: bool = False, dw_taps: bool = False, requant_bounds=None,
-    requant_log=None,
+    dw_int: bool = False, dw_taps: bool = False, mxu_bf16: str = "",
+    requant_bounds=None, requant_log=None,
 ):
     cfg = cfg or model.cfg
     w = _Walker(
         model, plan, int_params, cfg, int_only, int8_operands, use_pallas,
         f32_taps, border_bias, stem_s2d=stem_s2d, dw_int=dw_int,
-        dw_taps=dw_taps, requant_bounds=requant_bounds,
+        dw_taps=dw_taps, mxu_bf16=mxu_bf16, requant_bounds=requant_bounds,
         requant_log=requant_log,
     )
     fam = model.name
@@ -1122,6 +1149,7 @@ class IntEngine:
         dw_int: bool = False,
         dw_taps: bool = False,
         f32_requant: bool = True,
+        mxu_bf16: str = "",
     ):
         if stem_impl is None:
             # read once at construction so post-compile env flips can't
@@ -1156,7 +1184,8 @@ class IntEngine:
             f32_taps=f32_taps, border_bias=border_bias,
             maxpool_impl=maxpool_impl, stem_kernel=stem_kernel,
             stem_s2d=stem_s2d, stem_impl=stem_impl, dw_int=dw_int,
-            dw_taps=dw_taps, requant_bounds=requant_bounds,
+            dw_taps=dw_taps, mxu_bf16=mxu_bf16,
+            requant_bounds=requant_bounds,
         )
         if int_only:
             self._jit = jax.jit(

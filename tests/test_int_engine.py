@@ -337,3 +337,29 @@ def test_dw_taps_path_bitexact():
             if getattr(model.graph[n], "is_depthwise", False)
         ]
         assert dw and all(bounds[n] < (1 << 24) for n in dw), name
+
+
+@pytest.mark.parametrize("policy", ["1x1", "eligible"])
+def test_mxu_bf16_engine_bitexact(policy):
+    """bf16-operand MXU convs (mxu_bf16 policy) are bit-identical to the
+    s8->s32 conv form on every family: int8 values are exact in bf16, MXU
+    products accumulate in f32, and the static bound (the same one that
+    licenses the f32 requant) keeps the accumulator under 2^24 where f32
+    integer accumulation is exact regardless of order."""
+    for name in ("resnet18", "resnet50", "mobilenet_v1", "mobilenet_v2"):
+        model, params, state, x = _trained_model(name, BASE)
+        plan, ip = bake_plan(model, params, state)
+        eng = IntEngine(model, plan, ip, int_only=True, mxu_bf16="")
+        xi = eng.condition_input(x)
+        ref = np.asarray(eng(xi))
+        eng2 = IntEngine(model, plan, ip, int_only=True, mxu_bf16=policy)
+        np.testing.assert_array_equal(
+            np.asarray(eng2(xi)), ref, err_msg=f"{name}/{policy}"
+        )
+        # the path actually engages: the bf16 engine's jaxpr carries more
+        # bf16 ops than the default engine's (whose only bf16 convs are the
+        # depthwise/tiny-C exact-f32 detours)
+        jx0 = jax.make_jaxpr(eng._jit)(eng.int_params, xi)
+        jx2 = jax.make_jaxpr(eng2._jit)(eng2.int_params, xi)
+        cnt = lambda jx: str(jx).count("bf16")
+        assert cnt(jx2) > cnt(jx0), (name, policy)
