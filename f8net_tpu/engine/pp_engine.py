@@ -209,6 +209,7 @@ class PPEngine:
         self, model, plan, int_params, mesh: Mesh, microbatches: int,
         axis: str = "pipe", cfg=None, bounds=None, maxpool_impl: str = "single",
         data_axis: str | None = None, f32_requant: bool = True,
+        mxu_bf16: str = "",
     ):
         self.model = model
         self.plan = plan
@@ -236,6 +237,8 @@ class PPEngine:
         self._rq_bounds = (
             compute_requant_bounds(model, plan, ip) if f32_requant else None
         )
+        # bf16-operand MXU convs (int_engine mxu_bf16 policy); needs bounds
+        self._mxu_bf16 = mxu_bf16 if self._rq_bounds else ""
         self._pack_params(ip, stage_layers)
         self._programs = {}
 
@@ -285,7 +288,7 @@ class PPEngine:
     def _run_stage(self, s: int, params, x, in_meta):
         w = _Walker(
             self.model, self.plan, params, self.cfg, int_only=True,
-            requant_bounds=self._rq_bounds,
+            requant_bounds=self._rq_bounds, mxu_bf16=self._mxu_bf16,
         )
         if s == 0:
             act = IAct(

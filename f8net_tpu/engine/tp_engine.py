@@ -38,7 +38,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..nn.spec import LinearSpec
 from ..ops.fxp import (
-    fix_quant, requant_f32_eligible, shift_requant, shift_requant_f32,
+    F32_EXACT_BOUND, fix_quant, requant_f32_eligible, shift_requant,
+    shift_requant_f32,
 )
 from .int_engine import INT32_MAX, _maxpool, avgpool_shift_for
 
@@ -97,7 +98,7 @@ def tp_param_specs(model, modes, axis: str = "model") -> dict:
     return specs
 
 
-def _conv(x, w, stride, padding, groups, pad_value):
+def _conv(x, w, stride, padding, groups, pad_value, exact_f32=False):
     if pad_value != 0 and max(padding) > 0:
         x = jnp.pad(
             x,
@@ -107,6 +108,22 @@ def _conv(x, w, stride, padding, groups, pad_value):
         pads = [(0, 0), (0, 0)]
     else:
         pads = [(padding[0],) * 2, (padding[1],) * 2]
+    if exact_f32:
+        # bf16 operands + f32 accumulation on the MXU (int_engine._conv_int
+        # exact_f32): bit-exact under the caller's static bound gate.  For a
+        # ROW-mode K-shard the partial is bounded by 128*sum_subset|w| <=
+        # the full-layer bound, so each device's partial is f32-exact and
+        # the int32 psum of exact partials equals the single-device total.
+        y = lax.conv_general_dilated(
+            x.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            window_strides=stride,
+            padding=pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32,
+        )
+        return y.astype(jnp.int32)
     return lax.conv_general_dilated(
         x.astype(jnp.int32),
         w.astype(jnp.int32),
@@ -137,7 +154,7 @@ class _TPWalker:
 
     def __init__(
         self, model, plan, local_params, cfg, modes, axis, nshard,
-        requant_bounds=None,
+        requant_bounds=None, mxu_bf16: str = "",
     ):
         self.model = model
         self.graph = model.graph
@@ -152,6 +169,9 @@ class _TPWalker:
         # row-mode requant runs on the post-psum total == the single-device
         # accumulator, a col/shard-mode one on a channel subset of it)
         self.requant_bounds = requant_bounds or {}
+        # bf16-operand MXU convs for bound-eligible dense convs (the
+        # int_engine mxu_bf16 policy: '' | '1x1' | 'eligible')
+        self.mxu_bf16 = mxu_bf16
 
     def pack_for(self, act: _TAct, name: str) -> _TAct:
         if act.packed_for is not None:
@@ -198,7 +218,18 @@ class _TPWalker:
             groups = 1
             assert spec.groups == 1, name
 
-        y = _conv(x, w, spec.stride, spec.padding, groups, pad_value)
+        bound = self.requant_bounds.get(name)
+        mxu_ok = (
+            bool(self.mxu_bf16)
+            and groups == 1
+            and bound is not None
+            and bound < F32_EXACT_BOUND
+            and (self.mxu_bf16 == "eligible" or spec.kernel == (1, 1))
+        )
+        y = _conv(
+            x, w, spec.stride, spec.padding, groups, pad_value,
+            exact_f32=mxu_ok,
+        )
 
         # zero-point compensation 128*colsum(w): local w gives exactly this
         # device's share -- for col/shard that IS the sharded bias term; for
@@ -260,10 +291,13 @@ class _TPWalker:
         return y.astype(jnp.float32)
 
 
-def _tp_body(model, plan, cfg, modes, axis, nshard, x, params, requant_bounds):
+def _tp_body(
+    model, plan, cfg, modes, axis, nshard, x, params, requant_bounds,
+    mxu_bf16: str = "",
+):
     w = _TPWalker(
         model, plan, params, cfg, modes, axis, nshard,
-        requant_bounds=requant_bounds,
+        requant_bounds=requant_bounds, mxu_bf16=mxu_bf16,
     )
     fam = model.name
     head_pl = plan["head"]
@@ -366,7 +400,7 @@ def _params_concrete(int_params):
 
 def int_forward_tp(
     model, plan, int_params, x, mesh: Mesh, cfg=None, axis: str = "model",
-    f32_requant: bool = True, requant_bounds=None,
+    f32_requant: bool = True, requant_bounds=None, mxu_bf16: str = "",
 ):
     """Integer-only TP forward over a Mesh('data','model') with explicit
     collectives (see module docstring).  `x` is the conditioned input as for
@@ -404,7 +438,8 @@ def int_forward_tp(
 
     def body(xb, pb):
         return _tp_body(
-            model, plan, cfg, modes, axis, nshard, xb, pb, requant_bounds
+            model, plan, cfg, modes, axis, nshard, xb, pb, requant_bounds,
+            mxu_bf16=mxu_bf16 if requant_bounds else "",
         )
 
     fn = shard_map(

@@ -190,3 +190,18 @@ def test_pp_engine_f32_requant_bitexact():
         np.testing.assert_array_equal(
             np.asarray(pp(xi)), ref, err_msg=f"f32_requant={f32rq}"
         )
+
+def test_pp_engine_mxu_bf16_bitexact():
+    """bf16-operand MXU convs through the pipeline stages are bit-equal to
+    the pure-integer engine (stage walkers get the same bounds + policy)."""
+    import numpy as np
+
+    from f8net_tpu.engine import IntEngine
+
+    model, plan, ip, x = _baked("mobilenet_v2")
+    eng = IntEngine(model, plan, ip, f32_requant=False)
+    xi = eng.condition_input(x)
+    ref = np.asarray(eng(xi))
+    mesh = make_pipe_mesh(4)
+    pp = PPEngine(model, plan, ip, mesh, microbatches=4, mxu_bf16="1x1")
+    np.testing.assert_array_equal(np.asarray(pp(xi)), ref)

@@ -133,3 +133,25 @@ def test_tp_engine_f32_requant_bitexact():
             int_forward_tp(model, plan, ip, xd, mesh, CFG, f32_requant=f32rq)
         )
         np.testing.assert_array_equal(out, ref, err_msg=f"f32_requant={f32rq}")
+
+def test_tp_engine_mxu_bf16_bitexact():
+    """bf16-operand MXU convs under TP: col-mode output-channel shards and
+    row-mode K-shard partials (each bounded by 128*sum_subset|w| <= the
+    full-layer bound, so f32-exact pre-psum) are bit-equal to the integer
+    engine on both families that exercise all three conv modes."""
+    for name in ("resnet50", "mobilenet_v2"):
+        model, plan, ip, x = _baked(name)
+        eng = IntEngine(model, plan, ip, f32_requant=False)
+        xi = eng.condition_input(x)
+        ref = np.asarray(eng(xi))
+        mesh = make_mesh(data=2, model=4)
+        xd = jax.device_put(xi, batch_sharding(mesh))
+        for policy in ("1x1", "eligible"):
+            out = np.asarray(
+                int_forward_tp(
+                    model, plan, ip, xd, mesh, CFG, mxu_bf16=policy
+                )
+            )
+            np.testing.assert_array_equal(
+                out, ref, err_msg=f"{name}/mxu_bf16={policy}"
+            )
