@@ -174,12 +174,15 @@ def main():
         dw_taps=args.dw_taps, f32_requant=not args.no_f32_requant,
         mxu_bf16=args.mxu_bf16,
     )
+    # the engine's real wire format (condition_input): uint8 images.  The
+    # engine casts to int32 on device; feeding int32 here (as rounds 1-3
+    # did) quadruples the input read vs the engine's own serving path.
     x = jnp.round(
         255.0
         * jax.random.uniform(
             jax.random.PRNGKey(1), (args.batch, args.image_size, args.image_size, 3)
         )
-    ).astype(jnp.int32)
+    ).astype(jnp.uint8)
 
     fparams = plain_params(model, int_params)
     bf16 = jax.jit(lambda p, v: plain_forward(model, p, v))
