@@ -135,6 +135,13 @@ def main():
         "that licenses the f32 requant; '1x1' = pointwise only)",
     )
     ap.add_argument(
+        "--bf16-boundary", action="store_true", default=False,
+        help="relaxed-boundary throughput mode: residual carries / stem "
+        "boundaries as bf16 values (2B) instead of the bit-exact int32 "
+        "contract (4B); integize-grade accuracy, NOT bit-exact to "
+        "int_op_only -- the only non-bit-exact engine mode, opt-in",
+    )
+    ap.add_argument(
         "--no-f32-requant", action="store_true", default=False,
         help="disable the bit-exact f32 requant epilogue (pure integer "
         "shift chains everywhere; A/B of the 1x1 epilogue fix)",
@@ -172,7 +179,7 @@ def main():
         maxpool_impl=args.maxpool, stem_kernel=args.stem, stem_s2d=args.s2d,
         pad_channels_to=args.pad_channels, dw_int=args.dw_int,
         dw_taps=args.dw_taps, f32_requant=not args.no_f32_requant,
-        mxu_bf16=args.mxu_bf16,
+        mxu_bf16=args.mxu_bf16, bf16_boundary=args.bf16_boundary,
     )
     # the engine's real wire format (condition_input): uint8 images.  The
     # engine casts to int32 on device; feeding int32 here (as rounds 1-3

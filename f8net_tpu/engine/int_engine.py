@@ -318,13 +318,18 @@ class IAct:
     requant epilogue (ops/fxp.py requant_f32_eligible) on the 1x1-dominated
     paths where the integer requant chain is the measured bottleneck."""
 
-    __slots__ = ("x", "fl", "packed_for", "abs_bound")
+    __slots__ = ("x", "fl", "packed_for", "abs_bound", "scaled")
 
-    def __init__(self, x, fl, packed_for=None, abs_bound=None):
+    def __init__(self, x, fl, packed_for=None, abs_bound=None, scaled=False):
         self.x = x
         self.fl = fl
         self.packed_for = packed_for
         self.abs_bound = abs_bound
+        # scaled=True: `x` holds the REAL value acc*2^-fl as bf16 (the
+        # relaxed-boundary throughput mode, bf16_boundary) instead of the
+        # int32 accumulator.  Only multi-consumer boundary tensors take
+        # this form; fused int8 chains are identical in both modes.
+        self.scaled = scaled
 
 
 class _Walker:
@@ -352,6 +357,7 @@ class _Walker:
         dw_int: bool = False,
         dw_taps: bool = False,
         mxu_bf16: str = "",
+        bf16_boundary: bool = False,
         requant_bounds=None,
         requant_log=None,
     ):
@@ -393,6 +399,21 @@ class _Walker:
         # s32 conv emitter itself, and this runs those layers through the
         # same bf16 emitters the baseline uses.
         self.mxu_bf16 = mxu_bf16
+        # RELAXED-BOUNDARY THROUGHPUT MODE (opt-in; the ONLY non-bit-exact
+        # engine mode, and clearly flagged as such).  Multi-consumer
+        # boundary tensors (residual carries, the ResNet stem/maxpool)
+        # materialize as bf16 REAL VALUES (2 B/elt) instead of the
+        # reference's int32 accumulators (4 B/elt, fix_resnet.py:40-76),
+        # and residual adds run in bf16 instead of int32-saturating
+        # arithmetic.  Fused int8 conv chains -- operands, s32 accumulation,
+        # requant grids -- are IDENTICAL to the bit-exact engine; what
+        # changes is only the carry precision at block boundaries (bf16's
+        # 8-bit mantissa vs exact int32), i.e. the semantics of the
+        # reference's own 'integize' float simulation executed at int8
+        # speed.  The r4 attribution ladder bounds the win: hybrids with
+        # 2-byte boundaries beat bf16 by 13-18% on R50 where the bit-exact
+        # engine pays 0.82 (docs/BENCHMARKS.md round-4).
+        self.bf16_boundary = bf16_boundary
         # {layer: static |acc+bias| bound} from the baked params (computed
         # OUTSIDE jit by IntEngine; None disables the f32 requant fast path)
         self.requant_bounds = requant_bounds
@@ -412,6 +433,18 @@ class _Walker:
             assert act.packed_for == name, (act.packed_for, name)
             return act
         pl = self.plan[name]
+        if act.scaled:
+            # relaxed-boundary mode: quantize the bf16 real value straight
+            # onto the consumer's 8-bit grid (round-half-even + clamp --
+            # the same rule as fix_quant; the unsigned clamp absorbs ReLU)
+            v = jnp.round(act.x.astype(jnp.float32) * float(2.0**pl.input_fl))
+            if pl.input_symmetric:
+                v8 = jnp.clip(v, -127, 127).astype(jnp.int8)
+            else:
+                v8 = (jnp.clip(v, 0, 255) - 128).astype(jnp.int8)
+            if self.requant_log is not None:
+                self.requant_log.append((name, "bf16-scaled", None))
+            return IAct(v8, pl.input_fl, packed_for=name)
         rq = shift_requant
         if (
             act.abs_bound is not None
@@ -577,10 +610,7 @@ class _Walker:
                 pad_value = -128
             acc = _dw_taps_f32(act.x, p["w"], spec, pad_value)
             y = (acc + b.astype(jnp.float32)).astype(jnp.int32)
-            out = IAct(y, pl.out_fl, abs_bound=self._bound(name))
-            if pack_output_for is not None:
-                out = self.pack_for(out, pack_output_for)
-            return out
+            return self._emit(y, pl, name, pack_output_for)
 
         if (
             self.stem_s2d
@@ -609,6 +639,8 @@ class _Walker:
                     )
                 pv = -128
             y = _conv_int_s2d_pad(act.x, p["w"], spec, exact_f32, pv) + b
+            if pack_output_for is None and self.bf16_boundary:
+                return self._emit(y, pl, name, None)
             out = IAct(y, pl.out_fl)
             if pack_output_for is not None:
                 out = self.pack_for(out, pack_output_for)
@@ -697,10 +729,7 @@ class _Walker:
                 ones = jnp.ones((1,) + act.x.shape[1:], jnp.int8)
                 bmap = p["b"] + 128 * self._dense0(ones, p["w"], spec, exact_f32)
                 y = self._dense0(act.x, p["w"], spec, exact_f32) + bmap
-                out = IAct(y, pl.out_fl, abs_bound=self._bound(name))
-                if pack_output_for is not None:
-                    out = self.pack_for(out, pack_output_for)
-                return out
+                return self._emit(y, pl, name, pack_output_for)
             if not pl.input_symmetric:
                 b = p.get("b_zp")
                 if b is None:
@@ -727,10 +756,7 @@ class _Walker:
                 ) + b
         else:
             y = _conv_int(act.x, p["w"].astype(jnp.int32), spec) + p["b"]
-        out = IAct(y, pl.out_fl, abs_bound=self._bound(name))
-        if pack_output_for is not None:
-            out = self.pack_for(out, pack_output_for)
-        return out
+        return self._emit(y, pl, name, pack_output_for)
 
     def _bound(self, name):
         # bounds assume packed int8 operands (|x8| <= 128); the int32-operand
@@ -740,12 +766,34 @@ class _Walker:
             return None
         return self.requant_bounds.get(name)
 
+    def _emit(self, y, pl, name, pack_output_for):
+        """Common conv output emission: fuse the requant+pack for a unique
+        consumer, or materialize the boundary -- int32 accumulator
+        (bit-exact contract) or bf16 real value (bf16_boundary mode)."""
+        if pack_output_for is None and self.bf16_boundary:
+            v = (
+                y.astype(jnp.float32) * float(2.0 ** -pl.out_fl)
+            ).astype(jnp.bfloat16)
+            return IAct(v, pl.out_fl, scaled=True)
+        out = IAct(y, pl.out_fl, abs_bound=self._bound(name))
+        if pack_output_for is not None:
+            out = self.pack_for(out, pack_output_for)
+        return out
+
     def relu_i32(self, act: IAct) -> IAct:
-        return IAct(jnp.maximum(act.x, 0), act.fl, abs_bound=act.abs_bound)
+        return IAct(
+            jnp.maximum(act.x, 0), act.fl, abs_bound=act.abs_bound,
+            scaled=act.scaled,
+        )
 
     def add_int(self, res: IAct, x: IAct) -> IAct:
         """Left-shift the lower-fraclen operand onto the common grid, add,
-        saturate to int32 (fix_resnet.py:40-76)."""
+        saturate to int32 (fix_resnet.py:40-76).  In bf16_boundary mode both
+        operands are real values on aligned grids by construction: a plain
+        bf16 add (the integize semantics at 2 B/elt)."""
+        if res.scaled or x.scaled:
+            assert res.scaled and x.scaled, "mixed boundary modes"
+            return IAct(res.x + x.x, max(res.fl, x.fl), scaled=True)
         r, rf, v, vf = res.x, res.fl, x.x, x.fl
         br, bv = res.abs_bound, x.abs_bound
         if rf >= vf:
@@ -898,7 +946,7 @@ def int_forward(
     border_bias: bool = False, maxpool_impl: str = "single",
     stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
     dw_int: bool = False, dw_taps: bool = False, mxu_bf16: str = "",
-    requant_bounds=None, requant_log=None,
+    bf16_boundary: bool = False, requant_bounds=None, requant_log=None,
 ):
     """Integer-only forward.  `x` is the conditioned uint8-range input:
     round(255*image) as int32 (unnormalized pipeline, fraclen 8), or the
@@ -909,7 +957,8 @@ def int_forward(
         f32_taps=f32_taps, border_bias=border_bias, maxpool_impl=maxpool_impl,
         stem_kernel=stem_kernel, stem_s2d=stem_s2d, stem_impl=stem_impl,
         dw_int=dw_int, dw_taps=dw_taps, mxu_bf16=mxu_bf16,
-        requant_bounds=requant_bounds, requant_log=requant_log,
+        bf16_boundary=bf16_boundary, requant_bounds=requant_bounds,
+        requant_log=requant_log,
     )
 
 
@@ -967,14 +1016,14 @@ def _forward(
     border_bias: bool = False, maxpool_impl: str = "single",
     stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
     dw_int: bool = False, dw_taps: bool = False, mxu_bf16: str = "",
-    requant_bounds=None, requant_log=None,
+    bf16_boundary: bool = False, requant_bounds=None, requant_log=None,
 ):
     cfg = cfg or model.cfg
     w = _Walker(
         model, plan, int_params, cfg, int_only, int8_operands, use_pallas,
         f32_taps, border_bias, stem_s2d=stem_s2d, dw_int=dw_int,
-        dw_taps=dw_taps, mxu_bf16=mxu_bf16, requant_bounds=requant_bounds,
-        requant_log=requant_log,
+        dw_taps=dw_taps, mxu_bf16=mxu_bf16, bf16_boundary=bf16_boundary,
+        requant_bounds=requant_bounds, requant_log=requant_log,
     )
     fam = model.name
     head_pl = plan["head"]
@@ -1036,9 +1085,11 @@ def _forward(
                 a = IAct(pooled, head_pl.out_fl, abs_bound=w._bound("head"))
             else:
                 a = w.relu_i32(w.conv_int("head", a))
+                # max commutes with the monotone scale, so the bf16-boundary
+                # pool is the same pooled value at 2 B/elt
                 a = IAct(
                     _maxpool(a.x, 3, 2, 1, impl=maxpool_impl), a.fl,
-                    abs_bound=a.abs_bound,
+                    abs_bound=a.abs_bound, scaled=a.scaled,
                 )
             for meta in model.blocks:
                 a = _block_resnet_int(w, meta, a)
@@ -1065,24 +1116,32 @@ def _forward(
         # global average pool (shift derived from the built pool extent,
         # fix_quant_ops.py:117-124)
         if cfg.quant_avgpool:
-            # the H*W-element sum multiplies the static bound by the pool
-            # extent (trace-time shape), keeping the classifier-input requant
-            # eligible for the f32 form; requant_f32_eligible itself rejects
-            # any bound too large to be meaningful, so this is always safe
-            ab = (
-                None
-                if a.abs_bound is None
-                else a.abs_bound * a.x.shape[1] * a.x.shape[2]
-            )
-            a = IAct(
-                jnp.sum(a.x, (1, 2)),
-                a.fl + avgpool_shift_for(getattr(model, "pool_kernel", 7)),
-                abs_bound=ab,
-            )
+            shift = avgpool_shift_for(getattr(model, "pool_kernel", 7))
+            if a.scaled:
+                # sum in f32 (a bf16 49-term sum would round), same
+                # extent-derived shift as the integer path
+                pooled = (
+                    jnp.sum(a.x.astype(jnp.float32), (1, 2))
+                    * float(2.0**-shift)
+                ).astype(jnp.bfloat16)
+                a = IAct(pooled, a.fl + shift, scaled=True)
+            else:
+                # the H*W-element sum multiplies the static bound by the pool
+                # extent (trace-time shape), keeping the classifier-input
+                # requant eligible for the f32 form; requant_f32_eligible
+                # itself rejects any bound too large to be meaningful
+                ab = (
+                    None
+                    if a.abs_bound is None
+                    else a.abs_bound * a.x.shape[1] * a.x.shape[2]
+                )
+                a = IAct(jnp.sum(a.x, (1, 2)), a.fl + shift, abs_bound=ab)
         else:
             # reference falls back to float mean on this path
             # (fix_resnet.py:375-382)
-            m = jnp.mean(a.x.astype(jnp.float32), (1, 2)) / 2.0**a.fl
+            m = jnp.mean(a.x.astype(jnp.float32), (1, 2))
+            if not a.scaled:
+                m = m / 2.0**a.fl
             pl = plan["classifier"]
             q, _ = fix_quant(m, 8, float(pl.input_fl), 1, pl.input_symmetric)
             a = IAct(jnp.round(q * 2.0**pl.input_fl).astype(jnp.int32), pl.input_fl)
@@ -1150,7 +1209,15 @@ class IntEngine:
         dw_taps: bool = False,
         f32_requant: bool = True,
         mxu_bf16: str = "",
+        bf16_boundary: bool = False,
     ):
+        if bf16_boundary:
+            # the relaxed-boundary mode composes with the default engine
+            # only: it shares the fused int8 chains but not the alternative
+            # stem/pallas materialization paths
+            assert int_only and int8_operands and not use_pallas and not stem_kernel, (
+                "bf16_boundary requires the default int8 XLA engine"
+            )
         if stem_impl is None:
             # read once at construction so post-compile env flips can't
             # silently keep a stale impl (the jit cache key carries it)
@@ -1184,7 +1251,7 @@ class IntEngine:
             f32_taps=f32_taps, border_bias=border_bias,
             maxpool_impl=maxpool_impl, stem_kernel=stem_kernel,
             stem_s2d=stem_s2d, stem_impl=stem_impl, dw_int=dw_int,
-            dw_taps=dw_taps, mxu_bf16=mxu_bf16,
+            dw_taps=dw_taps, mxu_bf16=mxu_bf16, bf16_boundary=bf16_boundary,
             requant_bounds=requant_bounds,
         )
         if int_only:

@@ -363,3 +363,39 @@ def test_mxu_bf16_engine_bitexact(policy):
         jx2 = jax.make_jaxpr(eng2._jit)(eng2.int_params, xi)
         cnt = lambda jx: str(jx).count("bf16")
         assert cnt(jx2) > cnt(jx0), (name, policy)
+
+
+def test_bf16_boundary_relaxed_mode():
+    """The relaxed-boundary throughput mode (bf16_boundary=True) is the
+    ONLY non-bit-exact engine mode and is clearly flagged as such: fused
+    int8 chains are identical, but residual/stem boundaries carry bf16
+    values (integize-grade).  Contract tested here: (a) the relaxed mode
+    is NO FARTHER from the QAT float referent than the bit-exact engine
+    (its accuracy claim), and close to the bit-exact engine; (b) the mode
+    actually changes the boundary dataflow (bf16 ops appear); (c) it
+    refuses to compose with the alternative materialization paths
+    (pallas/stem kernels)."""
+    for name in ("resnet18", "resnet50", "mobilenet_v1", "mobilenet_v2"):
+        model, params, state, x = _trained_model(name, BASE, n=4)
+        plan, ip = bake_plan(model, params, state)
+        e0 = IntEngine(model, plan, ip, int_only=True)
+        e1 = IntEngine(model, plan, ip, int_only=True, bf16_boundary=True)
+        xi = e0.condition_input(x)
+        a, b = np.asarray(e0(xi)), np.asarray(e1(xi))
+        qat = np.asarray(model.apply(params, state, x, mode="eval")[0])
+        cos = lambda u, v: (
+            (u * v).sum(-1)
+            / (np.linalg.norm(u, axis=-1) * np.linalg.norm(v, axis=-1))
+        )
+        # within float-noise of the bit-exact engine's own distance to the
+        # float referent (these are random-weight toys with near-degenerate
+        # logits; trained models sit far tighter)
+        assert cos(b, qat).min() >= cos(a, qat).min() - 0.02, (
+            name, cos(a, qat).min(), cos(b, qat).min()
+        )
+        assert cos(a, b).min() >= 0.97, (name, cos(a, b).min())
+        jx = str(jax.make_jaxpr(e1._jit)(e1.int_params, xi))
+        assert "bf16" in jx, name
+    with pytest.raises(AssertionError):
+        IntEngine(model, plan, ip, int_only=True, bf16_boundary=True,
+                  use_pallas="dw")
