@@ -68,9 +68,10 @@ def build_units(model, plan, cfg, maxpool_impl: str = "single"):
     if fam.startswith("resnet"):
         def u_head(w, a):
             a = w.relu_i32(w.conv_int("head", a))
+            # max commutes with the monotone scale (bf16_boundary mode)
             return IAct(
                 _maxpool(a.x, 3, 2, 1, impl=maxpool_impl), a.fl,
-                abs_bound=a.abs_bound,
+                abs_bound=a.abs_bound, scaled=a.scaled,
             )
 
         units.append(u_head)
@@ -131,19 +132,31 @@ def build_units(model, plan, cfg, maxpool_impl: str = "single"):
 
     def u_final(w, a):
         if cfg.quant_avgpool:
-            # pool sum scales the static bound by the extent (see int_engine)
-            ab = (
-                None
-                if a.abs_bound is None
-                else a.abs_bound * a.x.shape[1] * a.x.shape[2]
-            )
-            a = IAct(
-                jnp.sum(a.x, (1, 2)),
-                a.fl + avgpool_shift_for(pk),
-                abs_bound=ab,
-            )
+            shift = avgpool_shift_for(pk)
+            if a.scaled:
+                # relaxed-boundary mode: f32 sum (a bf16 49-term sum would
+                # round), same extent-derived shift (see int_engine._forward)
+                pooled = (
+                    jnp.sum(a.x.astype(jnp.float32), (1, 2))
+                    * float(2.0**-shift)
+                ).astype(jnp.bfloat16)
+                a = IAct(pooled, a.fl + shift, scaled=True)
+            else:
+                # pool sum scales the static bound by the extent
+                ab = (
+                    None
+                    if a.abs_bound is None
+                    else a.abs_bound * a.x.shape[1] * a.x.shape[2]
+                )
+                a = IAct(
+                    jnp.sum(a.x, (1, 2)),
+                    a.fl + shift,
+                    abs_bound=ab,
+                )
         else:
-            m = jnp.mean(a.x.astype(jnp.float32), (1, 2)) / 2.0**a.fl
+            m = jnp.mean(a.x.astype(jnp.float32), (1, 2))
+            if not a.scaled:
+                m = m / 2.0**a.fl
             pl = plan["classifier"]
             q, _ = fix_quant(m, 8, float(pl.input_fl), 1, pl.input_symmetric)
             a = IAct(
@@ -168,10 +181,11 @@ def _nbytes(struct) -> int:
 
 
 def _enc(x, total: int):
-    """Array -> zero-padded int8 byte buffer (int32 bitcast to 4 bytes)."""
+    """Array -> zero-padded int8 byte buffer (int32 bitcast to 4 bytes,
+    bf16 boundaries -- relaxed mode -- to 2)."""
     flat = x.reshape(-1)
     if flat.dtype != jnp.int8:
-        assert flat.dtype == jnp.int32, flat.dtype
+        assert flat.dtype in (jnp.int32, jnp.bfloat16), flat.dtype
         flat = lax.bitcast_convert_type(flat, jnp.int8).reshape(-1)
     pad = total - flat.shape[0]
     assert pad >= 0, (total, flat.shape)
@@ -182,6 +196,10 @@ def _dec(buf, shape, dtype):
     n = int(np.prod(shape))
     if np.dtype(dtype) == np.int32:
         v = lax.bitcast_convert_type(buf[: 4 * n].reshape(n, 4), jnp.int32)
+    elif np.dtype(dtype) == np.dtype(jnp.bfloat16):
+        v = lax.bitcast_convert_type(
+            buf[: 2 * n].reshape(n, 2), jnp.bfloat16
+        )
     else:
         assert np.dtype(dtype) == np.int8, dtype
         v = buf[:n]
@@ -209,8 +227,12 @@ class PPEngine:
         self, model, plan, int_params, mesh: Mesh, microbatches: int,
         axis: str = "pipe", cfg=None, bounds=None, maxpool_impl: str = "single",
         data_axis: str | None = None, f32_requant: bool = True,
-        mxu_bf16: str = "",
+        mxu_bf16: str = "", bf16_boundary: bool = False,
     ):
+        # relaxed-boundary throughput mode (int_engine.IntEngine): the walker
+        # emits bf16 boundaries; the pipe wire carries them at 2 B/elt (half
+        # the int32 contract's boundary bytes) via the bf16 bitcast in _enc
+        self.bf16_boundary = bf16_boundary
         self.model = model
         self.plan = plan
         self.cfg = cfg or model.cfg
@@ -289,14 +311,15 @@ class PPEngine:
         w = _Walker(
             self.model, self.plan, params, self.cfg, int_only=True,
             requant_bounds=self._rq_bounds, mxu_bf16=self._mxu_bf16,
+            bf16_boundary=self.bf16_boundary,
         )
         if s == 0:
             act = IAct(
                 x.astype(jnp.int32), self.plan["head"].input_fl, abs_bound=256
             )
         else:
-            fl, pf, ab = in_meta
-            act = IAct(x, fl, packed_for=pf, abs_bound=ab)
+            fl, pf, ab, sc = in_meta
+            act = IAct(x, fl, packed_for=pf, abs_bound=ab, scaled=sc)
         for u in self._stage_units[s]:
             act = u(w, act)
         return act  # IAct, or the logits array from the final unit
@@ -318,7 +341,7 @@ class PPEngine:
             def f(xx, pp, s=s, hold=hold):
                 a = self._run_stage(s, pp, xx, metas[s] and metas[s][2:])
                 if isinstance(a, IAct):
-                    hold["m"] = (a.fl, a.packed_for, a.abs_bound)
+                    hold["m"] = (a.fl, a.packed_for, a.abs_bound, a.scaled)
                     return a.x
                 return a
 
@@ -349,8 +372,8 @@ class PPEngine:
                 if s == 0:
                     x, meta = sm, None
                 else:
-                    shape, dtype, fl, pf, ab = metas[s]
-                    x, meta = _dec(buf, shape, dtype), (fl, pf, ab)
+                    shape, dtype, fl, pf, ab, sc = metas[s]
+                    x, meta = _dec(buf, shape, dtype), (fl, pf, ab, sc)
                 a = self._run_stage(s, params, x, meta)
                 # every branch's outputs must carry the same "varies over
                 # pipe" type for lax.switch -- pcast the constant halves

@@ -136,15 +136,21 @@ def _conv(x, w, stride, padding, groups, pad_value, exact_f32=False):
 
 
 class _TAct:
-    __slots__ = ("x", "fl", "packed_for", "sharded", "abs_bound")
+    __slots__ = ("x", "fl", "packed_for", "sharded", "abs_bound", "scaled")
 
-    def __init__(self, x, fl, packed_for=None, sharded=False, abs_bound=None):
+    def __init__(
+        self, x, fl, packed_for=None, sharded=False, abs_bound=None,
+        scaled=False,
+    ):
         self.x = x
         self.fl = fl
         self.packed_for = packed_for
         self.sharded = sharded
         # static |value| proof for the f32 requant fast path (int_engine.IAct)
         self.abs_bound = abs_bound
+        # relaxed-boundary mode (int_engine.IAct.scaled): `x` is the REAL
+        # value acc*2^-fl as bf16 instead of the int32 accumulator
+        self.scaled = scaled
 
 
 class _TPWalker:
@@ -154,7 +160,7 @@ class _TPWalker:
 
     def __init__(
         self, model, plan, local_params, cfg, modes, axis, nshard,
-        requant_bounds=None, mxu_bf16: str = "",
+        requant_bounds=None, mxu_bf16: str = "", bf16_boundary: bool = False,
     ):
         self.model = model
         self.graph = model.graph
@@ -172,12 +178,27 @@ class _TPWalker:
         # bf16-operand MXU convs for bound-eligible dense convs (the
         # int_engine mxu_bf16 policy: '' | '1x1' | 'eligible')
         self.mxu_bf16 = mxu_bf16
+        # relaxed-boundary throughput mode (int_engine._Walker.bf16_boundary):
+        # multi-consumer boundaries materialize as bf16 real values; fused
+        # int8 chains are identical to the bit-exact engine.  For row-mode
+        # layers the int32 psum runs BEFORE the bf16 conversion, so the
+        # boundary value equals the single-device engine's bit-for-bit.
+        self.bf16_boundary = bf16_boundary
 
     def pack_for(self, act: _TAct, name: str) -> _TAct:
         if act.packed_for is not None:
             assert act.packed_for == name
             return act
         pl = self.plan[name]
+        if act.scaled:
+            # quantize the bf16 real value straight onto the consumer's
+            # 8-bit grid (round-half-even + clamp, as int_engine.pack_for)
+            v = jnp.round(act.x.astype(jnp.float32) * float(2.0**pl.input_fl))
+            if pl.input_symmetric:
+                v8 = jnp.clip(v, -127, 127).astype(jnp.int8)
+            else:
+                v8 = (jnp.clip(v, 0, 255) - 128).astype(jnp.int8)
+            return _TAct(v8, pl.input_fl, packed_for=name, sharded=act.sharded)
         rq = shift_requant
         if (
             act.abs_bound is not None
@@ -240,6 +261,17 @@ class _TPWalker:
         if mode == "row":
             y = lax.psum(y, self.axis)
         y = y + p["b"]
+        if pack_output_for is None and self.bf16_boundary:
+            # boundary materializes as the bf16 real value (the int32
+            # accumulator here is already the full post-psum total for row
+            # mode, a channel shard of it for col/shard -- either way the
+            # values equal int_engine._emit's input, so the bf16 conversion
+            # is bit-identical to the single-device relaxed mode)
+            v = (
+                y.astype(jnp.float32) * float(2.0 ** -pl.out_fl)
+            ).astype(jnp.bfloat16)
+            return _TAct(v, pl.out_fl, sharded=mode in ("col", "shard"),
+                         scaled=True)
         out = _TAct(
             y, pl.out_fl, sharded=mode in ("col", "shard"),
             abs_bound=self.requant_bounds.get(name),
@@ -251,11 +283,15 @@ class _TPWalker:
     def relu_i32(self, act: _TAct) -> _TAct:
         return _TAct(
             jnp.maximum(act.x, 0), act.fl, sharded=act.sharded,
-            abs_bound=act.abs_bound,
+            abs_bound=act.abs_bound, scaled=act.scaled,
         )
 
     def add_int(self, res: _TAct, x: _TAct) -> _TAct:
         assert not res.sharded and not x.sharded
+        if res.scaled or x.scaled:
+            # relaxed-boundary mode: plain bf16 add (int_engine.add_int)
+            assert res.scaled and x.scaled, "mixed boundary modes"
+            return _TAct(res.x + x.x, max(res.fl, x.fl), scaled=True)
         r, rf, v, vf = res.x, res.fl, x.x, x.fl
         br, bv = res.abs_bound, x.abs_bound
         if rf >= vf:
@@ -293,11 +329,12 @@ class _TPWalker:
 
 def _tp_body(
     model, plan, cfg, modes, axis, nshard, x, params, requant_bounds,
-    mxu_bf16: str = "",
+    mxu_bf16: str = "", bf16_boundary: bool = False,
 ):
     w = _TPWalker(
         model, plan, params, cfg, modes, axis, nshard,
         requant_bounds=requant_bounds, mxu_bf16=mxu_bf16,
+        bf16_boundary=bf16_boundary,
     )
     fam = model.name
     head_pl = plan["head"]
@@ -305,7 +342,12 @@ def _tp_body(
 
     if fam.startswith("resnet"):
         a = w.relu_i32(w.conv_int("head", a))
-        a = _TAct(_maxpool(a.x, 3, 2, 1), a.fl, abs_bound=a.abs_bound)
+        # max commutes with the monotone scale: the bf16-boundary pool is
+        # the same pooled value at 2 B/elt (int_engine._forward)
+        a = _TAct(
+            _maxpool(a.x, 3, 2, 1), a.fl, abs_bound=a.abs_bound,
+            scaled=a.scaled,
+        )
         for meta in model.blocks:
             v = a
             for prev, nxt in zip(meta.body[:-1], meta.body[1:]):
@@ -345,22 +387,37 @@ def _tp_body(
         a = w.relu_i32(w.conv_int("tail", a))
 
     if cfg.quant_avgpool:
-        # the pool sum scales the static bound by the (trace-time) extent,
-        # keeping the classifier-input requant f32-eligible; the eligibility
-        # rule rejects oversized bounds itself, so this is always safe
-        ab = (
-            None
-            if a.abs_bound is None
-            else a.abs_bound * a.x.shape[1] * a.x.shape[2]
-        )
-        a = _TAct(
-            jnp.sum(a.x, (1, 2)),
-            a.fl + avgpool_shift_for(getattr(model, "pool_kernel", 7)),
-            sharded=a.sharded,
-            abs_bound=ab,
-        )
+        shift = avgpool_shift_for(getattr(model, "pool_kernel", 7))
+        if a.scaled:
+            # sum in f32 (a bf16 49-term sum would round), same
+            # extent-derived shift as the integer path (int_engine._forward)
+            pooled = (
+                jnp.sum(a.x.astype(jnp.float32), (1, 2))
+                * float(2.0**-shift)
+            ).astype(jnp.bfloat16)
+            a = _TAct(pooled, a.fl + shift, sharded=a.sharded, scaled=True)
+        else:
+            # the pool sum scales the static bound by the (trace-time)
+            # extent, keeping the classifier-input requant f32-eligible; the
+            # eligibility rule rejects oversized bounds itself, so this is
+            # always safe
+            ab = (
+                None
+                if a.abs_bound is None
+                else a.abs_bound * a.x.shape[1] * a.x.shape[2]
+            )
+            a = _TAct(
+                jnp.sum(a.x, (1, 2)),
+                a.fl + shift,
+                sharded=a.sharded,
+                abs_bound=ab,
+            )
     else:
-        m = jnp.mean(a.x.astype(jnp.float32), (1, 2)) / 2.0**a.fl
+        # reference float-mean fallback; a scaled act is already the real
+        # value (int_engine._forward)
+        m = jnp.mean(a.x.astype(jnp.float32), (1, 2))
+        if not a.scaled:
+            m = m / 2.0**a.fl
         pl = plan["classifier"]
         q, _ = fix_quant(m, 8, float(pl.input_fl), 1, pl.input_symmetric)
         a = _TAct(
@@ -401,6 +458,7 @@ def _params_concrete(int_params):
 def int_forward_tp(
     model, plan, int_params, x, mesh: Mesh, cfg=None, axis: str = "model",
     f32_requant: bool = True, requant_bounds=None, mxu_bf16: str = "",
+    bf16_boundary: bool = False,
 ):
     """Integer-only TP forward over a Mesh('data','model') with explicit
     collectives (see module docstring).  `x` is the conditioned input as for
@@ -413,7 +471,11 @@ def int_forward_tp(
     outer jit (params are tracers) or the params' shards span processes,
     pass precomputed `requant_bounds=tp_requant_bounds(...)` -- otherwise
     the walker falls back to the pure-integer requant (bit-identical, just
-    slower)."""
+    slower).  bf16_boundary enables the relaxed-boundary throughput mode
+    (int_engine.IntEngine bf16_boundary: boundaries as bf16 real values,
+    integize-grade accuracy, NOT bit-exact to the int32 contract); the TP
+    relaxed mode is bit-equal to the single-device relaxed mode because
+    every boundary conversion runs on the post-psum int32 total."""
     import numpy as np
 
     cfg = cfg or model.cfg
@@ -440,6 +502,7 @@ def int_forward_tp(
         return _tp_body(
             model, plan, cfg, modes, axis, nshard, xb, pb, requant_bounds,
             mxu_bf16=mxu_bf16 if requant_bounds else "",
+            bf16_boundary=bf16_boundary,
         )
 
     fn = shard_map(

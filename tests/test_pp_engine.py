@@ -205,3 +205,23 @@ def test_pp_engine_mxu_bf16_bitexact():
     mesh = make_pipe_mesh(4)
     pp = PPEngine(model, plan, ip, mesh, microbatches=4, mxu_bf16="1x1")
     np.testing.assert_array_equal(np.asarray(pp(xi)), ref)
+
+
+def test_pp_engine_bf16_boundary_matches_single_device():
+    """Relaxed-boundary mode through the pipeline: stages emit bf16
+    boundaries, the pipe wire bitcasts them at 2 B/elt (vs 4 for the int32
+    contract), and the logits are bit-equal to the single-device
+    bf16_boundary engine (same walker code, byte-preserving moves)."""
+    for name, stages, micro in (
+        ("resnet18", 4, 8),
+        ("mobilenet_v2", 4, 8),
+    ):
+        model, plan, ip, x = _baked(name)
+        eng = IntEngine(model, plan, ip, bf16_boundary=True)
+        xi = eng.condition_input(x)
+        ref = np.asarray(eng(xi))
+        mesh = make_pipe_mesh(stages)
+        pp = PPEngine(
+            model, plan, ip, mesh, microbatches=micro, bf16_boundary=True
+        )
+        np.testing.assert_array_equal(np.asarray(pp(xi)), ref, err_msg=name)

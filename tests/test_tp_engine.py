@@ -155,3 +155,31 @@ def test_tp_engine_mxu_bf16_bitexact():
             np.testing.assert_array_equal(
                 out, ref, err_msg=f"{name}/mxu_bf16={policy}"
             )
+
+
+def test_tp_engine_bf16_boundary_matches_single_device():
+    """Relaxed-boundary throughput mode under TP: every boundary conversion
+    runs on the post-psum int32 total (row mode) or a channel shard of the
+    single-device accumulator (col/shard), so TP bf16_boundary is bit-equal
+    to the single-device bf16_boundary engine -- the mode trades exactness
+    against the INT32 CONTRACT, not determinism across shardings."""
+    for name in ("resnet18", "resnet50", "mobilenet_v1", "mobilenet_v2"):
+        model, plan, ip, x = _baked(name)
+        eng = IntEngine(model, plan, ip, bf16_boundary=True)
+        xi = eng.condition_input(x)
+        ref = np.asarray(eng(xi))
+        # (accuracy vs the bit-exact contract is pinned in
+        # test_int_engine.py::test_bf16_boundary_relaxed_mode; here we pin
+        # that SHARDING does not add any further divergence at all)
+        mesh = make_mesh(data=2, model=4)
+        xd = jax.device_put(xi, batch_sharding(mesh))
+        from f8net_tpu.engine.tp_engine import tp_requant_bounds
+
+        bounds = tp_requant_bounds(model, plan, ip)
+        out = np.asarray(
+            int_forward_tp(
+                model, plan, ip, xd, mesh, CFG, requant_bounds=bounds,
+                bf16_boundary=True,
+            )
+        )
+        np.testing.assert_array_equal(out, ref, err_msg=name)
