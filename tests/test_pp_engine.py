@@ -225,3 +225,32 @@ def test_pp_engine_bf16_boundary_matches_single_device():
             model, plan, ip, mesh, microbatches=micro, bf16_boundary=True
         )
         np.testing.assert_array_equal(np.asarray(pp(xi)), ref, err_msg=name)
+
+
+def test_pp_relaxed_wire_is_half_the_int32_contract():
+    """The relaxed mode's 2 B/elt claim, pinned at the wire: the PP
+    boundary-trace maximum under bf16_boundary is exactly half the int32
+    contract's for stage cuts whose boundary is a multi-consumer int32
+    tensor in strict mode (ResNet18 4-stage cuts land on block outputs)."""
+    model, plan, ip, x = _baked("resnet18", n=8)
+    mesh = make_pipe_mesh(4)
+    eng = IntEngine(model, plan, ip)
+    xi = eng.condition_input(x)
+    mb = xi.shape[0] // 4
+    wires = {}
+    for relaxed in (False, True):
+        pp = PPEngine(
+            model, plan, ip, mesh, microbatches=4, bf16_boundary=relaxed
+        )
+        metas, _ = pp._trace_boundaries(mb, xi.shape[1:], xi.dtype)
+        wires[relaxed] = [
+            (m[0], np.dtype(m[1]).itemsize, m[1]) for m in metas[1:]
+        ]
+    for (shp_s, it_s, dt_s), (shp_r, it_r, dt_r) in zip(
+        wires[False], wires[True]
+    ):
+        assert shp_s == shp_r
+        if it_s == 4:  # int32 boundary in strict mode -> bf16 in relaxed
+            assert it_r == 2, (dt_s, dt_r)
+    assert any(it == 4 for _, it, _ in wires[False]), "no int32 cut hit"
+    assert all(it < 4 for _, it, _ in wires[True])
