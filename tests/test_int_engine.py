@@ -399,3 +399,35 @@ def test_bf16_boundary_relaxed_mode():
     with pytest.raises(AssertionError):
         IntEngine(model, plan, ip, int_only=True, bf16_boundary=True,
                   use_pallas="dw")
+
+
+def test_bf16_boundary_normalized_and_float_avgpool_paths():
+    """Relaxed-mode coverage of the two non-default graph paths: the
+    normalized (signed-head) pipeline and the float-mean avgpool fallback
+    (cfg.quant_avgpool=False).  Both must run and stay argmax-consistent
+    with the strict engine (relaxed touches only boundary carries)."""
+    for cfg in (
+        BASE.replace(normalize=True),
+        BASE.replace(quant_avgpool=False, pool_fusing=False),
+    ):
+        model = get_model("resnet18", cfg, num_classes=10, image_size=32)
+        params, state = model.init(jax.random.PRNGKey(0))
+        x = (
+            jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+            if cfg.normalize
+            else jnp.round(
+                255 * jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+            ) / 256
+        )
+        for _ in range(3):
+            _, state = model.apply(params, state, x, mode="train")
+        plan, ip = bake_plan(model, params, state)
+        e0 = IntEngine(model, plan, ip, int_only=True)
+        e1 = IntEngine(model, plan, ip, int_only=True, bf16_boundary=True)
+        xi = e0.condition_input(x)
+        a, b = np.asarray(e0(xi)), np.asarray(e1(xi))
+        assert b.shape == a.shape and np.isfinite(b).all()
+        cosr = (a * b).sum(-1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
+        )
+        assert cosr.min() >= 0.97, (cfg.normalize, cosr.min())
