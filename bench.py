@@ -49,6 +49,20 @@ def _time_pair(fn_a, args_a, fn_b, args_b, rounds=4, iters=5):
         ts_b.append(_time_fn(fn_b, *args_b, iters=iters, warmup=1))
     med = lambda v: sorted(v)[len(v) // 2]
     ratios = sorted(tb / ta for ta, tb in zip(ts_a, ts_b))
+    # per-round spread to stderr: the relay's bf16-side throughput swings
+    # up to ~11% BETWEEN runs (r4_final_headline stderr), so a single
+    # median without its dispersion over-states precision
+    print(
+        json.dumps(
+            {
+                "metric": "ab_per_round_ratios",
+                "value": [round(r, 4) for r in ratios],
+                "unit": "b/a",
+                "vs_baseline": None,
+            }
+        ),
+        file=sys.stderr,
+    )
     return med(ts_a), med(ts_b), ratios[len(ratios) // 2]
 
 
