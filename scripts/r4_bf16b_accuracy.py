@@ -50,7 +50,7 @@ CFG = QuantConfig(
     format_from_metric=True, metric="std", quant_bias=True,
     quant_avgpool=True, pool_fusing=True,
 )
-NCLS, HW, BATCH, STEPS, NEVAL = 8, 32, 64, 150, 1024
+NCLS, HW, BATCH, STEPS, NEVAL = 8, 32, 64, 250, 1024
 
 
 def make_task(key):
@@ -70,21 +70,43 @@ def make_task(key):
     return batch
 
 
-def run_family(fam, seed=0):
+def _train_once(fam, lr, seed):
     key = jax.random.PRNGKey(seed)
     task = make_task(jax.random.PRNGKey(1000 + seed))
     model = get_model(fam, CFG, num_classes=NCLS, image_size=HW)
     params, state = model.init(key)
     tcfg = TrainConfig(
-        num_classes=NCLS, image_size=HW, batch_size=BATCH, lr=0.05,
+        num_classes=NCLS, image_size=HW, batch_size=BATCH, lr=lr,
         topk=(1,), weight_decay=1e-4,
     )
     step = make_train_step(model, CFG, tcfg)
     opt = sgd_init(params)
     for i in range(STEPS):
         x, y = task(jax.random.PRNGKey(2 * i), BATCH)
-        params, state, opt, m = step(params, state, opt, x, y, 0.05)
+        # 10-step warmup keeps the depthwise families from diverging
+        cur = lr * min(1.0, (i + 1) / 10.0)
+        params, state, opt, m = step(params, state, opt, x, y, cur)
     train_acc = float(m["top1"]) / BATCH
+    return model, params, state, task, train_acc
+
+
+def run_family(fam, seed=0):
+    # per-family lr ladder: retry lower on divergence (NaN weights) or
+    # underfit (final-batch top-1 < 0.6 -- degenerate logits would make
+    # the agreement numbers trivially 1.0 and the receipt meaningless)
+    for lr in (0.05, 0.02, 0.008, 0.003):
+        model, params, state, task, train_acc = _train_once(fam, lr, seed)
+        leaves = jax.tree_util.tree_leaves(params)
+        if any(not np.isfinite(np.asarray(v)).all() for v in leaves):
+            print(f"# {fam} lr={lr}: diverged, retrying", file=sys.stderr)
+            continue
+        if train_acc < 0.6:
+            print(
+                f"# {fam} lr={lr}: underfit ({train_acc:.2f}), retrying",
+                file=sys.stderr,
+            )
+            continue
+        break
 
     plan, ip = bake_plan(model, params, state)
     strict = IntEngine(model, plan, ip)
@@ -108,6 +130,7 @@ def run_family(fam, seed=0):
     rel_err = np.abs(yr - ys) / (np.abs(ys).max(-1, keepdims=True) + 1e-12)
     row = {
         "family": fam,
+        "train_lr": lr,
         "train_top1_final_batch": round(train_acc, 4),
         "eval_top1_referent": round(top1(ref), 4),
         "eval_top1_strict": round(top1(ys), 4),
