@@ -96,6 +96,11 @@ def main():
     )
     ap.add_argument("--pad-channels", type=int, default=0)
     ap.add_argument("--skip-bf16", action="store_true")
+    ap.add_argument(
+        "--bf16-boundary", action="store_true",
+        help="relaxed-boundary engine: boundary temps drop from int32 "
+        "(4B) to bf16 (2B) -- the memory story of the serving default",
+    )
     args = ap.parse_args()
 
     from f8net_tpu.engine import IntEngine
@@ -114,7 +119,7 @@ def main():
 
     eng = IntEngine(
         model, plan, int_params, int_only=True, stem_kernel=args.stem,
-        pad_channels_to=args.pad_channels,
+        pad_channels_to=args.pad_channels, bf16_boundary=args.bf16_boundary,
     )
     fparams = plain_params(model, int_params)
     # weights as ARGUMENTS (not closure constants) so the executable's
@@ -152,7 +157,7 @@ def main():
         xb = (x8.astype(_np.float32) / 256.0).astype(ml_dtypes.bfloat16)
         label = "int8" + ("+stem" if args.stem else "") + (
             f"+pad{args.pad_channels}" if args.pad_channels else ""
-        )
+        ) + ("+relaxed" if args.bf16_boundary else "")
         engines = [(label, eng._jit, eng.int_params, x8)]
         if not args.skip_bf16:
             engines.append(("bf16", bf16, fparams, xb))
