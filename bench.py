@@ -165,6 +165,13 @@ def main():
         "engine); overrides the relaxed default",
     )
     ap.add_argument(
+        "--int8-boundary", action="store_true", default=False,
+        help="1-byte boundary mode: carries requantize once onto the next "
+        "conv's QAT grid (standard production-int8 residual dataflow, "
+        "r4 ladder hybrid B); int8 stem maxpool; non-bit-exact like "
+        "--bf16-boundary but half the carry bytes",
+    )
+    ap.add_argument(
         "--no-f32-requant", action="store_true", default=False,
         help="disable the bit-exact f32 requant epilogue (pure integer "
         "shift chains everywhere; A/B of the 1x1 epilogue fix)",
@@ -200,7 +207,7 @@ def main():
     # throughput configuration), strict wherever an alternative
     # materialization path is selected (the mode only composes with the
     # default engine) or --strict-boundary asks for the contract
-    if args.strict_boundary:
+    if args.strict_boundary or args.int8_boundary:
         args.bf16_boundary = False
     elif args.bf16_boundary is None:
         args.bf16_boundary = not (pallas_mode or args.stem)
@@ -211,6 +218,7 @@ def main():
         pad_channels_to=args.pad_channels, dw_int=args.dw_int,
         dw_taps=args.dw_taps, f32_requant=not args.no_f32_requant,
         mxu_bf16=args.mxu_bf16, bf16_boundary=args.bf16_boundary,
+        int8_boundary=args.int8_boundary,
     )
     # the engine's real wire format (condition_input): uint8 images.  The
     # engine casts to int32 on device; feeding int32 here (as rounds 1-3
@@ -274,6 +282,7 @@ def main():
                 "metric": (
                     f"{args.model}_int8_{args.engine}"
                     + ("_relaxed" if args.bf16_boundary else "")
+                    + ("_relaxed_i8" if args.int8_boundary else "")
                     + f"_images_per_sec_1chip_{platform}"
                 ),
                 "value": round(ips_int, 1),

@@ -358,6 +358,7 @@ class _Walker:
         dw_taps: bool = False,
         mxu_bf16: str = "",
         bf16_boundary: bool = False,
+        int8_boundary: bool = False,
         requant_bounds=None,
         requant_log=None,
     ):
@@ -414,6 +415,18 @@ class _Walker:
         # 2-byte boundaries beat bf16 by 13-18% on R50 where the bit-exact
         # engine pays 0.82 (docs/BENCHMARKS.md round-4).
         self.bf16_boundary = bf16_boundary
+        # INT8-BOUNDARY THROUGHPUT MODE (opt-in, non-bit-exact like
+        # bf16_boundary but 1 B/elt): multi-consumer boundaries requantize
+        # ONCE onto the next conv's QAT input grid (the grid the trained
+        # model already assumes for that activation) and residual adds widen
+        # the 1-byte carry back to int32, align, add, and repack -- the
+        # standard production-int8 residual dataflow (e.g. TFLite), priced
+        # by the r4 attribution ladders (hybrid B: 1-byte boundaries beat
+        # bf16 by 13-15% on R50/MBv1).  vs bf16_boundary: half the carry
+        # bytes and an int8 stem/maxpool, one extra rounding per addend at
+        # the consumer's 8-bit grid.
+        self.int8_boundary = int8_boundary
+        assert not (bf16_boundary and int8_boundary)
         # {layer: static |acc+bias| bound} from the baked params (computed
         # OUTSIDE jit by IntEngine; None disables the f32 requant fast path)
         self.requant_bounds = requant_bounds
@@ -430,8 +443,20 @@ class _Walker:
         The requant runs even at equal fraclens: the reference always clamps
         (int_op_only_fix_quant with net 0, fix_quant_ops.py:90-114)."""
         if act.packed_for is not None:
-            assert act.packed_for == name, (act.packed_for, name)
-            return act
+            if act.packed_for == name:
+                return act
+            # int8-boundary mode: one packed tensor may feed several convs
+            # (e.g. a ResNet carry feeding body[0] AND the shortcut).  If the
+            # grids coincide the tensor is directly reusable; otherwise
+            # widen and requant 1-byte -> 1-byte (trace-time decision).
+            assert self.int8_boundary, (act.packed_for, name)
+            src = self.plan[act.packed_for]
+            pl = self.plan[name]
+            if (src.input_fl, src.input_symmetric) == (
+                pl.input_fl, pl.input_symmetric
+            ):
+                return IAct(act.x, act.fl, packed_for=name)
+            return self.pack_for(self._widen(act), name)
         pl = self.plan[name]
         if act.scaled:
             # relaxed-boundary mode: quantize the bf16 real value straight
@@ -468,6 +493,18 @@ class _Walker:
         else:
             v8 = (v - 128).astype(jnp.int8)
         return IAct(v8, pl.input_fl, packed_for=name)
+
+    def _widen(self, act: IAct) -> IAct:
+        """Packed int8 operand -> its int32 grid value (exact: undo the
+        s8 = u8 - 128 offset for unsigned grids).  Used by the int8-boundary
+        residual adds and grid repacks; the value sits on the packed grid's
+        fraclen with |v| <= 255."""
+        assert act.packed_for is not None
+        pl = self.plan[act.packed_for]
+        v = act.x.astype(jnp.int32)
+        if not pl.input_symmetric:
+            v = v + 128
+        return IAct(v, pl.input_fl, abs_bound=256)
 
     def _pallas_eligible(self, spec) -> bool:
         """use_pallas modes: False/'' off; 'all' routes every dense conv
@@ -794,6 +831,12 @@ class _Walker:
         if res.scaled or x.scaled:
             assert res.scaled and x.scaled, "mixed boundary modes"
             return IAct(res.x + x.x, max(res.fl, x.fl), scaled=True)
+        # int8-boundary mode: a packed 1-byte carry widens exactly back to
+        # its int32 grid value before the aligned add
+        if res.packed_for is not None:
+            res = self._widen(res)
+        if x.packed_for is not None:
+            x = self._widen(x)
         r, rf, v, vf = res.x, res.fl, x.x, x.fl
         br, bv = res.abs_bound, x.abs_bound
         if rf >= vf:
@@ -830,17 +873,26 @@ class _Walker:
         return s / scale, out_fl
 
 
-def _block_resnet_int(w: _Walker, meta, a: IAct) -> IAct:
+def _block_resnet_int(w: _Walker, meta, a: IAct, pack_target=None) -> IAct:
     """Basic/Bottleneck integer block.  Intra-body edges fuse the output
     requant (unique consumer); the last body conv and the shortcut stay int32
     for the saturating add; the intervening ReLUs are absorbed by the
-    unsigned requant clamps (fix_resnet.py:26-77)."""
+    unsigned requant clamps (fix_resnet.py:26-77).
+
+    int8-boundary mode (`pack_target` = the next block's first conv): the
+    incoming carry `a` is a 1-byte packed tensor (add_int widens it; the
+    shortcut conv repacks it if grids differ) and the post-ReLU add output
+    requantizes ONCE onto pack_target's QAT input grid, so the block
+    boundary crosses HBM at 1 B/elt."""
     v = a
     for prev, nxt in zip(meta.body[:-1], meta.body[1:]):
         v = w.conv_int(prev, v, pack_output_for=nxt)
     res = w.conv_int(meta.body[-1], v)
     s = a if meta.shortcut is None else w.conv_int(meta.shortcut, a)
-    return w.relu_i32(w.add_int(res, s))
+    out = w.relu_i32(w.add_int(res, s))
+    if w.int8_boundary and pack_target is not None:
+        return w.pack_for(out, pack_target)
+    return out
 
 
 def _block_resnet_sim(w: _Walker, meta, x, fl):
@@ -879,15 +931,27 @@ def _block_mbv1_sim(w: _Walker, meta, x, fl):
     return jnp.maximum(x, 0.0), fl
 
 
-def _block_mbv2_int(w: _Walker, meta, a: IAct, next_consumer) -> IAct:
+def _block_mbv2_int(w: _Walker, meta, a: IAct, next_consumer, pack_target=None) -> IAct:
     """Inverted residual: body edges fuse; residual blocks keep int32 ends
-    for the aligned add; no post-add ReLU (fix_mobilenet_v2.py:20-48)."""
+    for the aligned add; no post-add ReLU (fix_mobilenet_v2.py:20-48).
+
+    int8-boundary mode (`pack_target` = the next block's first conv, or the
+    tail): every block output -- including the residual carries the strict
+    contract keeps int32 -- requantizes onto pack_target's QAT grid and
+    crosses HBM at 1 B/elt; the next add widens the packed carry."""
     v = a
     for prev, nxt in zip(meta.body[:-1], meta.body[1:]):
         v = w.conv_int(prev, v, pack_output_for=nxt)
     if meta.residual:
         res = w.conv_int(meta.body[-1], v)
-        return w.add_int(res, a)
+        out = w.add_int(res, a)
+        if w.int8_boundary and pack_target is not None:
+            out = w.pack_for(out, pack_target)
+        return out
+    if w.int8_boundary and next_consumer is None and pack_target is not None:
+        # next block is residual: this output is its carry -- pack it onto
+        # the next conv's grid instead of carrying int32
+        return w.conv_int(meta.body[-1], v, pack_output_for=pack_target)
     return w.conv_int(meta.body[-1], v, pack_output_for=next_consumer)
 
 
@@ -946,7 +1010,8 @@ def int_forward(
     border_bias: bool = False, maxpool_impl: str = "single",
     stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
     dw_int: bool = False, dw_taps: bool = False, mxu_bf16: str = "",
-    bf16_boundary: bool = False, requant_bounds=None, requant_log=None,
+    bf16_boundary: bool = False, int8_boundary: bool = False,
+    requant_bounds=None, requant_log=None,
 ):
     """Integer-only forward.  `x` is the conditioned uint8-range input:
     round(255*image) as int32 (unnormalized pipeline, fraclen 8), or the
@@ -957,7 +1022,8 @@ def int_forward(
         f32_taps=f32_taps, border_bias=border_bias, maxpool_impl=maxpool_impl,
         stem_kernel=stem_kernel, stem_s2d=stem_s2d, stem_impl=stem_impl,
         dw_int=dw_int, dw_taps=dw_taps, mxu_bf16=mxu_bf16,
-        bf16_boundary=bf16_boundary, requant_bounds=requant_bounds,
+        bf16_boundary=bf16_boundary, int8_boundary=int8_boundary,
+        requant_bounds=requant_bounds,
         requant_log=requant_log,
     )
 
@@ -1016,13 +1082,15 @@ def _forward(
     border_bias: bool = False, maxpool_impl: str = "single",
     stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
     dw_int: bool = False, dw_taps: bool = False, mxu_bf16: str = "",
-    bf16_boundary: bool = False, requant_bounds=None, requant_log=None,
+    bf16_boundary: bool = False, int8_boundary: bool = False,
+    requant_bounds=None, requant_log=None,
 ):
     cfg = cfg or model.cfg
     w = _Walker(
         model, plan, int_params, cfg, int_only, int8_operands, use_pallas,
         f32_taps, border_bias, stem_s2d=stem_s2d, dw_int=dw_int,
         dw_taps=dw_taps, mxu_bf16=mxu_bf16, bf16_boundary=bf16_boundary,
+        int8_boundary=int8_boundary,
         requant_bounds=requant_bounds, requant_log=requant_log,
     )
     fam = model.name
@@ -1085,14 +1153,28 @@ def _forward(
                 a = IAct(pooled, head_pl.out_fl, abs_bound=w._bound("head"))
             else:
                 a = w.relu_i32(w.conv_int("head", a))
-                # max commutes with the monotone scale, so the bf16-boundary
-                # pool is the same pooled value at 2 B/elt
-                a = IAct(
-                    _maxpool(a.x, 3, 2, 1, impl=maxpool_impl), a.fl,
-                    abs_bound=a.abs_bound, scaled=a.scaled,
-                )
-            for meta in model.blocks:
-                a = _block_resnet_int(w, meta, a)
+                if w.int8_boundary:
+                    # pack the stem activation (the zoo's largest tensor)
+                    # BEFORE the pool: max commutes with the monotone
+                    # s8 = u8 - 128 map, so the int8 maxpool reads/writes
+                    # 1 B/elt instead of the contract's 4
+                    a = w.pack_for(a, model.blocks[0].body[0])
+                    a = IAct(
+                        _maxpool(a.x, 3, 2, 1, impl=maxpool_impl), a.fl,
+                        packed_for=a.packed_for,
+                    )
+                else:
+                    # max commutes with the monotone scale, so the
+                    # bf16-boundary pool is the same pooled value at 2 B/elt
+                    a = IAct(
+                        _maxpool(a.x, 3, 2, 1, impl=maxpool_impl), a.fl,
+                        abs_bound=a.abs_bound, scaled=a.scaled,
+                    )
+            # int8-boundary carries requantize onto the NEXT block's first
+            # conv grid; the final block stays int32 for the average pool
+            ptargets = [m.body[0] for m in model.blocks[1:]] + [None]
+            for meta, pt in zip(model.blocks, ptargets):
+                a = _block_resnet_int(w, meta, a, pack_target=pt)
         elif fam == "mobilenet_v1":
             consumers = [m.body[0] for m in model.blocks[1:]] + [None]
             a = w.conv_int("head", a, pack_output_for=model.blocks[0].body[0])
@@ -1109,8 +1191,9 @@ def _forward(
                 "head", a,
                 pack_output_for=None if first.residual else first.body[0],
             )
-            for meta, nxt in zip(model.blocks, consumers):
-                a = _block_mbv2_int(w, meta, a, nxt)
+            ptargets = [m.body[0] for m in model.blocks[1:]] + ["tail"]
+            for meta, nxt, pt in zip(model.blocks, consumers, ptargets):
+                a = _block_mbv2_int(w, meta, a, nxt, pack_target=pt)
             a = w.relu_i32(w.conv_int("tail", a))
 
         # global average pool (shift derived from the built pool extent,
@@ -1210,14 +1293,16 @@ class IntEngine:
         f32_requant: bool = True,
         mxu_bf16: str = "",
         bf16_boundary: bool = False,
+        int8_boundary: bool = False,
     ):
-        if bf16_boundary:
-            # the relaxed-boundary mode composes with the default engine
-            # only: it shares the fused int8 chains but not the alternative
+        if bf16_boundary or int8_boundary:
+            # the relaxed-boundary modes compose with the default engine
+            # only: they share the fused int8 chains but not the alternative
             # stem/pallas materialization paths
             assert int_only and int8_operands and not use_pallas and not stem_kernel, (
-                "bf16_boundary requires the default int8 XLA engine"
+                "boundary modes require the default int8 XLA engine"
             )
+            assert not (bf16_boundary and int8_boundary)
         if stem_impl is None:
             # read once at construction so post-compile env flips can't
             # silently keep a stale impl (the jit cache key carries it)
@@ -1252,6 +1337,7 @@ class IntEngine:
             maxpool_impl=maxpool_impl, stem_kernel=stem_kernel,
             stem_s2d=stem_s2d, stem_impl=stem_impl, dw_int=dw_int,
             dw_taps=dw_taps, mxu_bf16=mxu_bf16, bf16_boundary=bf16_boundary,
+            int8_boundary=int8_boundary,
             requant_bounds=requant_bounds,
         )
         if int_only:

@@ -111,12 +111,14 @@ def run_family(fam, seed=0):
     plan, ip = bake_plan(model, params, state)
     strict = IntEngine(model, plan, ip)
     relaxed = IntEngine(model, plan, ip, bf16_boundary=True)
+    relax8 = IntEngine(model, plan, ip, int8_boundary=True)
 
     xe, ye = task(jax.random.PRNGKey(999_999), NEVAL)
     ref = np.asarray(model.apply(params, state, xe, mode="eval")[0])
     xi = strict.condition_input(xe)
     ys = np.asarray(strict(xi))
     yr = np.asarray(relaxed(xi))
+    y8 = np.asarray(relax8(xi))
     ye = np.asarray(ye)
 
     top1 = lambda lg: float((lg.argmax(-1) == ye).mean())
@@ -138,6 +140,10 @@ def run_family(fam, seed=0):
         "agree_strict_vs_referent": round(agree(ys, ref), 4),
         "agree_relaxed_vs_referent": round(agree(yr, ref), 4),
         "agree_relaxed_vs_strict": round(agree(yr, ys), 4),
+        "eval_top1_int8b": round(top1(y8), 4),
+        "agree_int8b_vs_referent": round(agree(y8, ref), 4),
+        "agree_int8b_vs_strict": round(agree(y8, ys), 4),
+        "cos_int8b_vs_strict_min": round(float(cos(y8, ys).min()), 6),
         "cos_relaxed_vs_strict_min": round(float(cos(yr, ys).min()), 6),
         "cos_strict_vs_referent_min": round(
             float(cos(ys / scale, ref).min()), 6

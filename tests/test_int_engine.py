@@ -431,3 +431,39 @@ def test_bf16_boundary_normalized_and_float_avgpool_paths():
             np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
         )
         assert cosr.min() >= 0.97, (cfg.normalize, cosr.min())
+
+
+def test_int8_boundary_relaxed_mode():
+    """The 1-byte boundary mode (int8_boundary=True): carries requantize
+    once onto the next conv's QAT input grid -- the standard production
+    int8 residual dataflow.  Contract: (a) no farther from the QAT float
+    referent than the bit-exact engine (same bar as bf16_boundary);
+    (b) the ResNet stem maxpool actually runs on int8 (the mode's memory
+    claim); (c) refuses to compose with pallas paths or bf16_boundary."""
+    for name in ("resnet18", "resnet50", "mobilenet_v2"):
+        model, params, state, x = _trained_model(name, BASE, n=4)
+        plan, ip = bake_plan(model, params, state)
+        e0 = IntEngine(model, plan, ip, int_only=True)
+        e8 = IntEngine(model, plan, ip, int_only=True, int8_boundary=True)
+        xi = e0.condition_input(x)
+        a, b = np.asarray(e0(xi)), np.asarray(e8(xi))
+        qat = np.asarray(model.apply(params, state, x, mode="eval")[0])
+        cos = lambda u, v: (
+            (u * v).sum(-1)
+            / (np.linalg.norm(u, axis=-1) * np.linalg.norm(v, axis=-1))
+        )
+        assert cos(b, qat).min() >= cos(a, qat).min() - 0.05, (
+            name, cos(a, qat).min(), cos(b, qat).min()
+        )
+        assert cos(a, b).min() >= 0.95, (name, cos(a, b).min())
+        if name.startswith("resnet"):
+            jx = str(jax.make_jaxpr(e8._jit)(e8.int_params, xi))
+            # stem maxpool on the packed int8 tensor: reduce_window over i8
+            import re
+            assert re.search(r"i8\[[0-9,]+\] = reduce_window\[", jx), name
+    with pytest.raises(AssertionError):
+        IntEngine(model, plan, ip, int_only=True, int8_boundary=True,
+                  use_pallas="dw")
+    with pytest.raises(AssertionError):
+        IntEngine(model, plan, ip, int_only=True, int8_boundary=True,
+                  bf16_boundary=True)
