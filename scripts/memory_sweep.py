@@ -101,6 +101,11 @@ def main():
         help="relaxed-boundary engine: boundary temps drop from int32 "
         "(4B) to bf16 (2B) -- the memory story of the serving default",
     )
+    ap.add_argument(
+        "--int8-boundary", action="store_true",
+        help="1-byte boundary engine: carries requantized onto the next "
+        "conv's QAT grid; int8 stem maxpool",
+    )
     args = ap.parse_args()
 
     from f8net_tpu.engine import IntEngine
@@ -120,6 +125,7 @@ def main():
     eng = IntEngine(
         model, plan, int_params, int_only=True, stem_kernel=args.stem,
         pad_channels_to=args.pad_channels, bf16_boundary=args.bf16_boundary,
+        int8_boundary=args.int8_boundary,
     )
     fparams = plain_params(model, int_params)
     # weights as ARGUMENTS (not closure constants) so the executable's
@@ -157,7 +163,7 @@ def main():
         xb = (x8.astype(_np.float32) / 256.0).astype(ml_dtypes.bfloat16)
         label = "int8" + ("+stem" if args.stem else "") + (
             f"+pad{args.pad_channels}" if args.pad_channels else ""
-        ) + ("+relaxed" if args.bf16_boundary else "")
+        ) + ("+relaxed" if args.bf16_boundary else "") + ("+relaxed8" if args.int8_boundary else "")
         engines = [(label, eng._jit, eng.int_params, x8)]
         if not args.skip_bf16:
             engines.append(("bf16", bf16, fparams, xb))
