@@ -51,7 +51,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.fxp import fix_quant
 from ..nn.quant_layers import avgpool_shift_for
-from .int_engine import IAct, _block_resnet_int, _classifier_int, _maxpool, _Walker, add_zero_point_bias
+from .int_engine import IAct, _block_mbv2_int, _block_resnet_int, _classifier_int, _maxpool, _Walker, add_zero_point_bias
 
 
 def build_units(model, plan, cfg, maxpool_impl: str = "single"):
@@ -66,8 +66,17 @@ def build_units(model, plan, cfg, maxpool_impl: str = "single"):
     units, layer_sets = [], []
 
     if fam.startswith("resnet"):
+        first_body0 = model.blocks[0].body[0]
+
         def u_head(w, a):
             a = w.relu_i32(w.conv_int("head", a))
+            if w.int8_boundary:
+                # int8-boundary mode: pack before the pool (1 B/elt stem)
+                a = w.pack_for(a, first_body0)
+                return IAct(
+                    _maxpool(a.x, 3, 2, 1, impl=maxpool_impl), a.fl,
+                    packed_for=a.packed_for,
+                )
             # max commutes with the monotone scale (bf16_boundary mode)
             return IAct(
                 _maxpool(a.x, 3, 2, 1, impl=maxpool_impl), a.fl,
@@ -76,9 +85,12 @@ def build_units(model, plan, cfg, maxpool_impl: str = "single"):
 
         units.append(u_head)
         layer_sets.append({"head"})
-        for meta in model.blocks:
+        ptargets = [m.body[0] for m in model.blocks[1:]] + [None]
+        for meta, pt in zip(model.blocks, ptargets):
             units.append(
-                lambda w, a, meta=meta: _block_resnet_int(w, meta, a)
+                lambda w, a, meta=meta, pt=pt: _block_resnet_int(
+                    w, meta, a, pack_target=pt
+                )
             )
             ls = set(meta.body)
             if meta.shortcut is not None:
@@ -112,14 +124,10 @@ def build_units(model, plan, cfg, maxpool_impl: str = "single"):
             nxt = model.blocks[k]
             consumers.append(None if nxt.residual else nxt.body[0])
         consumers.append("tail")
-        for meta, nxt in zip(model.blocks, consumers):
-            def u_blk(w, a, meta=meta, nxt=nxt):
-                v = a
-                for prev, nn in zip(meta.body[:-1], meta.body[1:]):
-                    v = w.conv_int(prev, v, pack_output_for=nn)
-                if meta.residual:
-                    return w.add_int(w.conv_int(meta.body[-1], v), a)
-                return w.conv_int(meta.body[-1], v, pack_output_for=nxt)
+        ptargets = [m.body[0] for m in model.blocks[1:]] + ["tail"]
+        for meta, nxt, pt in zip(model.blocks, consumers, ptargets):
+            def u_blk(w, a, meta=meta, nxt=nxt, pt=pt):
+                return _block_mbv2_int(w, meta, a, nxt, pack_target=pt)
 
             units.append(u_blk)
             layer_sets.append(set(meta.body))
@@ -228,11 +236,16 @@ class PPEngine:
         axis: str = "pipe", cfg=None, bounds=None, maxpool_impl: str = "single",
         data_axis: str | None = None, f32_requant: bool = True,
         mxu_bf16: str = "", bf16_boundary: bool = False,
+        int8_boundary: bool = False,
     ):
         # relaxed-boundary throughput mode (int_engine.IntEngine): the walker
         # emits bf16 boundaries; the pipe wire carries them at 2 B/elt (half
         # the int32 contract's boundary bytes) via the bf16 bitcast in _enc
         self.bf16_boundary = bf16_boundary
+        # 1-byte boundary mode: stage walkers pack carries onto the next
+        # conv's grid; packed boundaries cross the pipe wire at 1 B/elt
+        # (the metadata already carries packed_for)
+        self.int8_boundary = int8_boundary
         self.model = model
         self.plan = plan
         self.cfg = cfg or model.cfg
@@ -312,6 +325,7 @@ class PPEngine:
             self.model, self.plan, params, self.cfg, int_only=True,
             requant_bounds=self._rq_bounds, mxu_bf16=self._mxu_bf16,
             bf16_boundary=self.bf16_boundary,
+            int8_boundary=self.int8_boundary,
         )
         if s == 0:
             act = IAct(

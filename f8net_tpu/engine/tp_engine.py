@@ -161,6 +161,7 @@ class _TPWalker:
     def __init__(
         self, model, plan, local_params, cfg, modes, axis, nshard,
         requant_bounds=None, mxu_bf16: str = "", bf16_boundary: bool = False,
+        int8_boundary: bool = False,
     ):
         self.model = model
         self.graph = model.graph
@@ -184,11 +185,37 @@ class _TPWalker:
         # layers the int32 psum runs BEFORE the bf16 conversion, so the
         # boundary value equals the single-device engine's bit-for-bit.
         self.bf16_boundary = bf16_boundary
+        # 1-byte boundary mode (int_engine._Walker.int8_boundary): carries
+        # requantize once onto the next conv's QAT grid; residual adds widen
+        # the packed carry.  All conversions run on post-psum totals, so the
+        # TP mode is bit-equal to the single-device int8-boundary engine.
+        self.int8_boundary = int8_boundary
+        assert not (bf16_boundary and int8_boundary)
+
+    def _widen(self, act: _TAct) -> _TAct:
+        """Packed int8 operand -> its int32 grid value (int_engine._widen)."""
+        assert act.packed_for is not None
+        pl = self.plan[act.packed_for]
+        v = act.x.astype(jnp.int32)
+        if not pl.input_symmetric:
+            v = v + 128
+        return _TAct(v, pl.input_fl, sharded=act.sharded, abs_bound=256)
 
     def pack_for(self, act: _TAct, name: str) -> _TAct:
         if act.packed_for is not None:
-            assert act.packed_for == name
-            return act
+            if act.packed_for == name:
+                return act
+            # int8-boundary mode: one packed carry may feed several convs
+            assert self.int8_boundary, (act.packed_for, name)
+            src = self.plan[act.packed_for]
+            pl = self.plan[name]
+            if (src.input_fl, src.input_symmetric) == (
+                pl.input_fl, pl.input_symmetric
+            ):
+                return _TAct(
+                    act.x, act.fl, packed_for=name, sharded=act.sharded
+                )
+            return self.pack_for(self._widen(act), name)
         pl = self.plan[name]
         if act.scaled:
             # quantize the bf16 real value straight onto the consumer's
@@ -292,6 +319,11 @@ class _TPWalker:
             # relaxed-boundary mode: plain bf16 add (int_engine.add_int)
             assert res.scaled and x.scaled, "mixed boundary modes"
             return _TAct(res.x + x.x, max(res.fl, x.fl), scaled=True)
+        # int8-boundary mode: widen a packed 1-byte carry exactly
+        if res.packed_for is not None:
+            res = self._widen(res)
+        if x.packed_for is not None:
+            x = self._widen(x)
         r, rf, v, vf = res.x, res.fl, x.x, x.fl
         br, bv = res.abs_bound, x.abs_bound
         if rf >= vf:
@@ -330,11 +362,12 @@ class _TPWalker:
 def _tp_body(
     model, plan, cfg, modes, axis, nshard, x, params, requant_bounds,
     mxu_bf16: str = "", bf16_boundary: bool = False,
+    int8_boundary: bool = False,
 ):
     w = _TPWalker(
         model, plan, params, cfg, modes, axis, nshard,
         requant_bounds=requant_bounds, mxu_bf16=mxu_bf16,
-        bf16_boundary=bf16_boundary,
+        bf16_boundary=bf16_boundary, int8_boundary=int8_boundary,
     )
     fam = model.name
     head_pl = plan["head"]
@@ -342,19 +375,30 @@ def _tp_body(
 
     if fam.startswith("resnet"):
         a = w.relu_i32(w.conv_int("head", a))
-        # max commutes with the monotone scale: the bf16-boundary pool is
-        # the same pooled value at 2 B/elt (int_engine._forward)
-        a = _TAct(
-            _maxpool(a.x, 3, 2, 1), a.fl, abs_bound=a.abs_bound,
-            scaled=a.scaled,
-        )
-        for meta in model.blocks:
+        if w.int8_boundary:
+            # pack the stem activation before the pool (int8 maxpool,
+            # 1 B/elt; int_engine._forward int8-boundary path)
+            a = w.pack_for(a, model.blocks[0].body[0])
+            a = _TAct(
+                _maxpool(a.x, 3, 2, 1), a.fl, packed_for=a.packed_for,
+            )
+        else:
+            # max commutes with the monotone scale: the bf16-boundary pool
+            # is the same pooled value at 2 B/elt (int_engine._forward)
+            a = _TAct(
+                _maxpool(a.x, 3, 2, 1), a.fl, abs_bound=a.abs_bound,
+                scaled=a.scaled,
+            )
+        ptargets = [m.body[0] for m in model.blocks[1:]] + [None]
+        for meta, pt in zip(model.blocks, ptargets):
             v = a
             for prev, nxt in zip(meta.body[:-1], meta.body[1:]):
                 v = w.conv_int(prev, v, pack_output_for=nxt)
             res = w.conv_int(meta.body[-1], v)
             s = a if meta.shortcut is None else w.conv_int(meta.shortcut, a)
             a = w.relu_i32(w.add_int(res, s))
+            if w.int8_boundary and pt is not None:
+                a = w.pack_for(a, pt)
     elif fam == "mobilenet_v1":
         consumers = [m.body[0] for m in model.blocks[1:]] + [None]
         a = w.conv_int("head", a, pack_output_for=model.blocks[0].body[0])
@@ -375,13 +419,19 @@ def _tp_body(
             "head", a,
             pack_output_for=None if first.residual else first.body[0],
         )
-        for meta, nxt in zip(model.blocks, consumers):
+        ptargets = [m.body[0] for m in model.blocks[1:]] + ["tail"]
+        for meta, nxt, pt in zip(model.blocks, consumers, ptargets):
             v = a
             for prev, nn in zip(meta.body[:-1], meta.body[1:]):
                 v = w.conv_int(prev, v, pack_output_for=nn)
             if meta.residual:
                 res = w.conv_int(meta.body[-1], v)
                 a = w.add_int(res, a)
+                if w.int8_boundary:
+                    a = w.pack_for(a, pt)
+            elif w.int8_boundary and nxt is None:
+                # next block is residual: pack its carry (int_engine)
+                a = w.conv_int(meta.body[-1], v, pack_output_for=pt)
             else:
                 a = w.conv_int(meta.body[-1], v, pack_output_for=nxt)
         a = w.relu_i32(w.conv_int("tail", a))
@@ -458,7 +508,7 @@ def _params_concrete(int_params):
 def int_forward_tp(
     model, plan, int_params, x, mesh: Mesh, cfg=None, axis: str = "model",
     f32_requant: bool = True, requant_bounds=None, mxu_bf16: str = "",
-    bf16_boundary: bool = False,
+    bf16_boundary: bool = False, int8_boundary: bool = False,
 ):
     """Integer-only TP forward over a Mesh('data','model') with explicit
     collectives (see module docstring).  `x` is the conditioned input as for
@@ -502,7 +552,7 @@ def int_forward_tp(
         return _tp_body(
             model, plan, cfg, modes, axis, nshard, xb, pb, requant_bounds,
             mxu_bf16=mxu_bf16 if requant_bounds else "",
-            bf16_boundary=bf16_boundary,
+            bf16_boundary=bf16_boundary, int8_boundary=int8_boundary,
         )
 
     fn = shard_map(

@@ -254,3 +254,19 @@ def test_pp_relaxed_wire_is_half_the_int32_contract():
             assert it_r == 2, (dt_s, dt_r)
     assert any(it == 4 for _, it, _ in wires[False]), "no int32 cut hit"
     assert all(it < 4 for _, it, _ in wires[True])
+
+
+def test_pp_engine_int8_boundary_matches_single_device():
+    """1-byte boundary mode through the pipeline: packed carries cross the
+    pipe wire at 1 B/elt (metadata carries packed_for) and logits are
+    bit-equal to the single-device int8-boundary engine."""
+    for name in ("resnet18", "mobilenet_v2"):
+        model, plan, ip, x = _baked(name)
+        eng = IntEngine(model, plan, ip, int8_boundary=True)
+        xi = eng.condition_input(x)
+        ref = np.asarray(eng(xi))
+        mesh = make_pipe_mesh(4)
+        pp = PPEngine(
+            model, plan, ip, mesh, microbatches=8, int8_boundary=True
+        )
+        np.testing.assert_array_equal(np.asarray(pp(xi)), ref, err_msg=name)

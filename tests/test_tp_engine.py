@@ -183,3 +183,26 @@ def test_tp_engine_bf16_boundary_matches_single_device():
             )
         )
         np.testing.assert_array_equal(out, ref, err_msg=name)
+
+
+def test_tp_engine_int8_boundary_matches_single_device():
+    """1-byte boundary mode under TP: packed carries widen on post-psum
+    totals, so TP int8_boundary is bit-equal to the single-device
+    int8-boundary engine on every family."""
+    for name in ("resnet18", "resnet50", "mobilenet_v2"):
+        model, plan, ip, x = _baked(name)
+        eng = IntEngine(model, plan, ip, int8_boundary=True)
+        xi = eng.condition_input(x)
+        ref = np.asarray(eng(xi))
+        mesh = make_mesh(data=2, model=4)
+        xd = jax.device_put(xi, batch_sharding(mesh))
+        from f8net_tpu.engine.tp_engine import tp_requant_bounds
+
+        bounds = tp_requant_bounds(model, plan, ip)
+        out = np.asarray(
+            int_forward_tp(
+                model, plan, ip, xd, mesh, CFG, requant_bounds=bounds,
+                int8_boundary=True,
+            )
+        )
+        np.testing.assert_array_equal(out, ref, err_msg=name)
