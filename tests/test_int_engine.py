@@ -467,3 +467,19 @@ def test_int8_boundary_relaxed_mode():
     with pytest.raises(AssertionError):
         IntEngine(model, plan, ip, int_only=True, int8_boundary=True,
                   bf16_boundary=True)
+
+
+def test_int8_boundary_degenerates_on_mbv1():
+    """MobileNetV1 is a pure single-consumer chain (no residual adds, no
+    stem maxpool -- reference fix_mobilenet_v1.py), so the 1-byte boundary
+    mode has nothing to relax: every carry is already an int8 activation on
+    its producer's grid.  Pin the degeneracy BITWISE -- int8_boundary must
+    equal the strict contract exactly on MBv1 (on the residual families it
+    only has to stay within the QAT-referent tolerance, the test above)."""
+    model, params, state, x = _trained_model("mobilenet_v1", BASE, n=4)
+    plan, ip = bake_plan(model, params, state)
+    e0 = IntEngine(model, plan, ip, int_only=True)
+    e8 = IntEngine(model, plan, ip, int_only=True, int8_boundary=True)
+    xi = e0.condition_input(x)
+    a, b = np.asarray(e0(xi)), np.asarray(e8(xi))
+    assert (a == b).all(), np.abs(a - b).max()
