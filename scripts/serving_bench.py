@@ -29,17 +29,22 @@ CFG = QuantConfig(
 
 
 def main():
-    # argv: [model] [batch] [n_clients] [reqs_per_client] [strict|relaxed]
+    # argv: [model] [batch] [n_clients] [reqs_per_client] [strict|relaxed|relaxed8]
     model_name = sys.argv[1] if len(sys.argv) > 1 else "resnet18"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     n_clients = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     reqs_per_client = int(sys.argv[4]) if len(sys.argv) > 4 else 20
-    relaxed = (sys.argv[5] if len(sys.argv) > 5 else "strict") == "relaxed"
+    mode = sys.argv[5] if len(sys.argv) > 5 else "strict"
+    assert mode in ("strict", "relaxed", "relaxed8"), mode
 
     model = get_model(model_name, CFG, num_classes=1000)
     params, state = model.init(jax.random.PRNGKey(0))
     plan, ip = bake_plan(model, params, state)
-    eng = IntEngine(model, plan, ip, bf16_boundary=relaxed)
+    eng = IntEngine(
+        model, plan, ip,
+        bf16_boundary=(mode == "relaxed"),
+        int8_boundary=(mode == "relaxed8"),
+    )
 
     img = np.asarray(
         jnp.round(255 * jax.random.uniform(jax.random.PRNGKey(1), (224, 224, 3)))
