@@ -138,6 +138,13 @@ def main():
         "P7": ("square", 7, 1, 1024, 8),
         "E14": ("pair", 14, 1, (96, 576), 2),
         "E7": ("pair", 7, 1, (160, 960), 8),
+        # r5 deviation controls (docs/BENCHMARKS.md SoL gate notes): the
+        # same classes with MXU-lane-aligned channels / doubled K depth --
+        # if these clear 90% of SoL the deficit is the channel geometry /
+        # epilogue amortization, not the kernel
+        "E14p128": ("pair", 14, 1, (128, 512), 2),
+        "E7p128": ("pair", 7, 1, (128, 1024), 8),
+        "P56c256": ("square", 56, 1, 256, 1),
     }
     net = 4
     want = args.variants.split(",")
