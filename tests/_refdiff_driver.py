@@ -44,7 +44,33 @@ YMLS = {
         "apps/imagenet/mobilenetv2/conventional/mbv2_fix_quant_train.yml",
         "apps/imagenet/mobilenetv2/conventional/mbv2_fix_quant_test_int_op_only_on_cpu.yml",
     ),
+    # tiny_finetuning configuration: exercises normalize=True (signed head
+    # input via ImageNet mean/std), no_clipping=True, and
+    # format_grid_search=True (weight fraclens by grid search instead of
+    # the sigma->fl metric) -- none of which the conventional configs touch
+    "resnet50_tf": (
+        "apps/imagenet/resnet50/tiny_finetuning/res50_fix_quant_ptcv_pretrained_train.yml",
+        "apps/imagenet/resnet50/tiny_finetuning/res50_fix_quant_ptcv_pretrained_test_int_op_only_on_cpu.yml",
+    ),
 }
+
+IMAGENET_MEAN = [0.485, 0.456, 0.406]
+IMAGENET_STD = [0.229, 0.224, 0.225]
+
+
+def _condition(FLAGS, x):
+    """The reference's data-side conditioning of raw [0,1) images.
+
+    normalize=True: transforms.Normalize with the ImageNet constants
+    (fix_train.py:300-306); else the (255x).round()/256 grid snap of
+    forward_loss (fix_train.py:694)."""
+    import torch
+
+    if getattr(FLAGS, "normalize", False):
+        mean = torch.tensor(IMAGENET_MEAN).view(1, 3, 1, 1)
+        std = torch.tensor(IMAGENET_STD).view(1, 3, 1, 1)
+        return (x - mean) / std
+    return (255 * x).round() / 256
 
 
 def _setup_flags(yml_rel, phase):
@@ -115,13 +141,12 @@ def phase_qat(work, family, steps, batch, seed, image_size):
     with torch.no_grad():
         for i in range(steps):
             x = torch.rand(batch, 3, hw, hw, generator=gen)
-            x = (255 * x).round_() / 256  # fix_train.py:694
-            model(x)
+            model(_condition(FLAGS, x))
 
     x0 = torch.rand(batch, 3, hw, hw, generator=gen)
     model.eval()
     with torch.no_grad():
-        logits = model((255 * x0).round() / 256)
+        logits = model(_condition(FLAGS, x0))
 
     torch.save({"model": model.state_dict()}, os.path.join(work, "ckpt.pt"))
     np.save(os.path.join(work, "input.npy"), x0.numpy())
@@ -135,7 +160,9 @@ def phase_qat(work, family, steps, batch, seed, image_size):
     with open(os.path.join(work, "meta.json"), "w") as f:
         json.dump(
             {"family": family, "image_size": hw, "batch": batch,
-             "steps": steps, "seed": seed, "input_fl_ema": emas},
+             "steps": steps, "seed": seed,
+             "normalize": bool(getattr(FLAGS, "normalize", False)),
+             "input_fl_ema": emas},
             f, indent=1,
         )
     print("qat done:", {k: round(v[0], 3) for k, v in list(emas.items())[:3]})
@@ -187,8 +214,22 @@ def phase_int(work, family):
     imodel.eval()
 
     x0 = torch.from_numpy(np.load(os.path.join(work, "input.npy")))
-    xi = (255 * x0).round_().int()  # fix_train.py:690-692
-    setattr(xi, "output_fraclen", 8)
+    if getattr(FLAGS, "normalize", False):
+        # forward_loss's int_op_only conditioning under normalize
+        # (fix_train.py:682-688): quantize the normalized input on the head
+        # conv's own grid
+        from models.fix_quant_ops import fix_quant
+
+        head0 = imodel.head[0]
+        xn = _condition(FLAGS, x0)
+        xi = (
+            fix_quant(xn, 8, head0.input_fraclen * 1.0, 1, head0.input_symmetric)[0]
+            * (2 ** head0.input_fraclen)
+        ).int()
+        setattr(xi, "output_fraclen", head0.input_fraclen.item())
+    else:
+        xi = (255 * x0).round_().int()  # fix_train.py:690-692
+        setattr(xi, "output_fraclen", 8)
     with torch.no_grad():
         y = imodel(xi)
     np.save(os.path.join(work, "int_logits.npy"), y.numpy())

@@ -25,6 +25,10 @@ Contract asserted per family:
   6. our QAT eval logits match the reference's eval forward to 5e-2 (the
      documented float-mode tolerance, same as the internal cross-mode gate).
 
+Four configurations: ResNet18 / MobileNetV1 / MobileNetV2 conventional, plus
+ResNet50 tiny_finetuning (normalize=True signed head input, no_clipping,
+format_grid_search weight fraclens -- the Model-Zoo evaluation paths).
+
 Runs only when /root/reference is mounted (skip otherwise) -- no reference
 code is vendored; the driver calls it as a library in a subprocess.
 """
@@ -52,9 +56,9 @@ pytestmark = pytest.mark.skipif(
     reason="reference tree not mounted",
 )
 
-FAMILIES = ["resnet18", "mobilenet_v1", "mobilenet_v2"]
+FAMILIES = ["resnet18", "mobilenet_v1", "mobilenet_v2", "resnet50_tf"]
 
-CFG = QuantConfig(
+_BASE = QuantConfig(
     format_from_metric=True,
     metric="std",
     quant_bias=True,
@@ -62,6 +66,20 @@ CFG = QuantConfig(
     pool_fusing=True,
     quant_maxpool=False,
 )
+# resnet50_tf = the reference's tiny_finetuning configuration: signed
+# normalized head input, PACT clipping off, weight fraclens by grid search
+CFGS = {
+    "resnet18": _BASE,
+    "mobilenet_v1": _BASE,
+    "mobilenet_v2": _BASE,
+    "resnet50_tf": _BASE.replace(
+        normalize=True, no_clipping=True, format_grid_search=True
+    ),
+}
+MODEL_OF = {f: f.removesuffix("_tf") for f in FAMILIES}
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32).reshape(1, 3, 1, 1)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32).reshape(1, 3, 1, 1)
 
 
 def _ref2ours(rn: str) -> str:
@@ -98,10 +116,23 @@ def ref_run(request, tmp_path_factory):
 @pytest.fixture(scope="module")
 def ours(ref_run):
     fam, work = ref_run
-    model = get_model(fam, CFG, num_classes=1000, image_size=224)
+    model = get_model(MODEL_OF[fam], CFGS[fam], num_classes=1000, image_size=224)
     params, state = load_reference_checkpoint(model, str(work / "ckpt.pt"))
     plan, int_params = bake_plan(model, params, state)
     return fam, work, model, params, state, plan, int_params
+
+
+def _is_normalize(work) -> bool:
+    return bool(json.loads((work / "meta.json").read_text()).get("normalize"))
+
+
+def _engine_input(work):
+    """NHWC input for IntEngine.condition_input: raw [0,1) images for the
+    conventional configs, mean/std-normalized floats for normalize=True."""
+    x0 = np.load(work / "input.npy")
+    if _is_normalize(work):
+        x0 = ((x0 - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
+    return jnp.asarray(np.transpose(x0, (0, 2, 3, 1)))
 
 
 def test_fraclens_match_reference(ours):
@@ -148,10 +179,8 @@ def test_int_weights_bitwise_biases_within_tie_budget(ours):
 
 
 def _int_logits(model, plan, int_params, work):
-    x0 = np.load(work / "input.npy")
-    x = jnp.asarray(np.transpose(x0, (0, 2, 3, 1)))
     eng = IntEngine(model, plan, int_params, int_only=True)
-    return np.asarray(eng(eng.condition_input(x))).astype(np.int64)
+    return np.asarray(eng(eng.condition_input(_engine_input(work)))).astype(np.int64)
 
 
 def test_engine_bitwise_equals_reference_int_op_only(ours):
@@ -187,8 +216,9 @@ def test_direct_conversion_bitwise_when_no_bias_ties(ours):
 
 def test_qat_eval_close_to_reference(ours):
     fam, work, model, params, state, plan, int_params = ours
-    x0 = np.load(work / "input.npy")
-    x = jnp.asarray(np.transpose(x0, (0, 2, 3, 1)))
-    logits, _ = model.apply(params, state, jnp.round(255.0 * x) / 256.0, mode="eval")
+    x = _engine_input(work)
+    if not _is_normalize(work):
+        x = jnp.round(255.0 * x) / 256.0  # fix_train.py:694 conditioning
+    logits, _ = model.apply(params, state, x, mode="eval")
     ref_a = np.load(work / "qat_eval_logits.npy")
     np.testing.assert_allclose(np.asarray(logits), ref_a, rtol=0, atol=5e-2)
