@@ -204,6 +204,13 @@ def main():
         "--bf16-boundary but half the carry bytes",
     )
     ap.add_argument(
+        "--fuse-ir", action="store_true", default=False,
+        help="fused inverted-residual blocks (Pallas): expand->dw->project "
+        "in one kernel, expanded activation VMEM-resident; bit-identical "
+        "to the per-layer path in every boundary mode "
+        "(tests/test_pallas_ir.py)",
+    )
+    ap.add_argument(
         "--no-f32-requant", action="store_true", default=False,
         help="disable the bit-exact f32 requant epilogue (pure integer "
         "shift chains everywhere; A/B of the 1x1 epilogue fix)",
@@ -243,6 +250,7 @@ def main():
         pallas_mode or args.stem or args.s2d or args.f32_taps
         or args.border_bias or args.maxpool != "single" or args.pad_channels
         or args.dw_int or args.dw_taps or args.mxu_bf16 or args.no_f32_requant
+        or args.fuse_ir
     )
     # DEFAULT since round 5: one run measures ALL THREE engine rungs
     # against a single shared bf16 baseline (VERDICT r4 weak #3: the driver
@@ -261,7 +269,7 @@ def main():
         maxpool_impl=args.maxpool, stem_kernel=args.stem, stem_s2d=args.s2d,
         pad_channels_to=args.pad_channels, dw_int=args.dw_int,
         dw_taps=args.dw_taps, f32_requant=not args.no_f32_requant,
-        mxu_bf16=args.mxu_bf16, **kw,
+        mxu_bf16=args.mxu_bf16, fuse_ir=args.fuse_ir, **kw,
     )
     eng = mk_engine(
         bf16_boundary=args.bf16_boundary, int8_boundary=args.int8_boundary
@@ -363,6 +371,7 @@ def main():
             {
                 "metric": (
                     f"{args.model}_int8_{args.engine}"
+                    + ("_fuseir" if args.fuse_ir else "")
                     + ("_relaxed" if args.bf16_boundary else "")
                     + ("_relaxed_i8" if args.int8_boundary else "")
                     + f"_images_per_sec_1chip_{platform}"

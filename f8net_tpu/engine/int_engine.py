@@ -359,6 +359,7 @@ class _Walker:
         mxu_bf16: str = "",
         bf16_boundary: bool = False,
         int8_boundary: bool = False,
+        fuse_ir: bool = False,
         requant_bounds=None,
         requant_log=None,
     ):
@@ -427,6 +428,12 @@ class _Walker:
         # the consumer's 8-bit grid.
         self.int8_boundary = int8_boundary
         assert not (bf16_boundary and int8_boundary)
+        # FUSED INVERTED-RESIDUAL BLOCKS (Pallas, ops/pallas_ir_block.py):
+        # expand->dw->project execute in one kernel keeping the expanded
+        # activation in VMEM; bit-identical to the per-layer path junction
+        # by junction (tests/test_pallas_ir.py).  Eligibility decided per
+        # block in _block_mbv2_int.
+        self.fuse_ir = fuse_ir
         # {layer: static |acc+bias| bound} from the baked params (computed
         # OUTSIDE jit by IntEngine; None disables the f32 requant fast path)
         self.requant_bounds = requant_bounds
@@ -852,6 +859,147 @@ class _Walker:
         ab = None if (br is None or bv is None) else min(br + bv, INT32_MAX)
         return IAct(jnp.clip(r + v, -INT32_MAX, INT32_MAX), out_fl, abs_bound=ab)
 
+    def try_fused_ir(self, meta, a: IAct, next_consumer, pack_target):
+        """Route an eligible inverted-residual block through the fused
+        Pallas kernel (ops/pallas_ir_block.py): expand->dw->project (and the
+        residual add) in one kernel, expanded activation VMEM-resident.
+        Returns the block output IAct, or None when the block is ineligible
+        (falls back to the per-layer path).  Bit-identical junction math:
+        every requant is the same static-shift round-half-to-even the
+        per-layer engine uses (or its provably-equal f32 form)."""
+        if not self.fuse_ir or not self.int8_operands or self.use_pallas:
+            return None
+        if len(meta.body) != 3:
+            return None
+        en, dn, pn = meta.body
+        se, sd, sp = self.graph[en], self.graph[dn], self.graph[pn]
+        if not (se.kernel == (1, 1) and se.groups == 1 and se.stride == (1, 1)):
+            return None
+        if not (
+            sd.is_depthwise
+            and sd.kernel[0] == sd.kernel[1]
+            and sd.padding[0] == sd.padding[1]
+            and sd.stride[0] == sd.stride[1]
+            and sd.stride[0] in (1, 2)
+        ):
+            return None
+        if not (sp.kernel == (1, 1) and sp.groups == 1 and sp.stride == (1, 1)):
+            return None
+
+        ple, pld, plp = self.plan[en], self.plan[dn], self.plan[pn]
+        ap = self.pack_for(a, en)
+        n, h, wd_, cin = ap.x.shape
+        ce = sd.out_ch
+        pad_ = sd.padding[0]
+        stride = sd.stride[0]
+        # VMEM working-set estimate per batch-tile image (bytes): expand i32
+        # + padded f32 window + dw acc f32 dominate; guard at ~10 MB so the
+        # 112^2 stride-2 block (est ~15 MB at bn=1) falls back per-layer
+        per_im = (
+            h * wd_ * (cin + 4 * ce)
+            + (h + 2 * pad_) * (wd_ + 2 * pad_) * 4 * ce
+            + (h // stride) * (wd_ // stride) * ce * 9
+        )
+        bn = 0
+        for cand in (16, 8, 4, 2, 1):
+            if n % cand == 0 and cand * per_im <= 10 * 2**20:
+                bn = cand
+                break
+        if bn == 0:
+            return None
+
+        pe, pd, pp = self.params[en], self.params[dn], self.params[pn]
+
+        def _bias(p, pl, spec):
+            if pl.input_symmetric:
+                return p["b"]
+            bz = p.get("b_zp")
+            if bz is None:
+                bz = p["b"] + 128 * jnp.sum(p["w"].astype(jnp.int32), axis=(0, 1, 2))
+            return bz
+
+        from ..ops.pallas_ir_block import fused_ir_block
+
+        w1 = pe["w"].reshape(cin, ce)
+        wdw = pd["w"].reshape(sd.kernel[0], sd.kernel[1], ce)
+        w2 = pp["w"].reshape(ce, sp.out_ch)
+        common = dict(
+            stride=stride, pad=pad_,
+            net1=ple.out_fl - pld.input_fl, dw_in_signed=pld.input_symmetric,
+            net2=pld.out_fl - plp.input_fl, proj_in_signed=plp.input_symmetric,
+            bn_tile=bn,
+        )
+        kw = dict(common)
+        b1 = _bias(pe, ple, se)
+        bdw = pd["b"]  # dw math runs on UNPACKED grid values: plain bias
+        b2 = _bias(pp, plp, sp)
+
+        if meta.residual:
+            if a.scaled:
+                # bf16-boundary carry: kernel emits the projected real value,
+                # the bf16 add stays outside (add_int scaled+scaled)
+                y = fused_ir_block(
+                    ap.x, w1, b1, wdw, bdw, w2, b2,
+                    out="bf16", out_fl=plp.out_fl, **kw,
+                )
+                out = self.add_int(IAct(y, plp.out_fl, scaled=True), a)
+                return out
+            carry = self._widen(a) if a.packed_for is not None else a
+            rf, vf = plp.out_fl, carry.fl
+            shift_res, shift_carry = max(vf - rf, 0), max(rf - vf, 0)
+            out_fl = max(rf, vf)
+            br = self._bound(pn)
+            bv = carry.abs_bound
+            ab = (
+                None if (br is None or bv is None)
+                else min((br << shift_res) + (bv << shift_carry), INT32_MAX)
+            )
+            if self.int8_boundary and pack_target is not None:
+                tgt = self.plan[pack_target]
+                y8 = fused_ir_block(
+                    ap.x, w1, b1, wdw, bdw, w2, b2, carry.x,
+                    out="requant8", net_out=out_fl - tgt.input_fl,
+                    out_signed=tgt.input_symmetric,
+                    shift_res=shift_res, shift_carry=shift_carry, **kw,
+                )
+                return IAct(y8, tgt.input_fl, packed_for=pack_target)
+            y = fused_ir_block(
+                ap.x, w1, b1, wdw, bdw, w2, b2, carry.x,
+                out="int32", shift_res=shift_res, shift_carry=shift_carry, **kw,
+            )
+            if self.bf16_boundary:
+                # relaxed boundary of the ADD output (engine add_int keeps
+                # int32 only in strict/int8b modes; in bf16 mode the carry
+                # was scaled and handled above)
+                raise AssertionError("unreachable: bf16 carries are scaled")
+            return IAct(y, out_fl, abs_bound=ab)
+
+        # non-residual block
+        if self.int8_boundary and next_consumer is None and pack_target is not None:
+            tgt = self.plan[pack_target]
+            y8 = fused_ir_block(
+                ap.x, w1, b1, wdw, bdw, w2, b2,
+                out="requant8", net_out=plp.out_fl - tgt.input_fl,
+                out_signed=tgt.input_symmetric, **kw,
+            )
+            return IAct(y8, tgt.input_fl, packed_for=pack_target)
+        if next_consumer is not None:
+            cons = self.plan[next_consumer]
+            y8 = fused_ir_block(
+                ap.x, w1, b1, wdw, bdw, w2, b2,
+                out="requant8", net_out=plp.out_fl - cons.input_fl,
+                out_signed=cons.input_symmetric, **kw,
+            )
+            return IAct(y8, cons.input_fl, packed_for=next_consumer)
+        if self.bf16_boundary:
+            y = fused_ir_block(
+                ap.x, w1, b1, wdw, bdw, w2, b2,
+                out="bf16", out_fl=plp.out_fl, **kw,
+            )
+            return IAct(y, plp.out_fl, scaled=True)
+        y = fused_ir_block(ap.x, w1, b1, wdw, bdw, w2, b2, out="int32", **kw)
+        return IAct(y, plp.out_fl, abs_bound=self._bound(pn))
+
     # -- float-simulation path ---------------------------------------------
 
     def conv_sim(self, name, x):
@@ -939,6 +1087,9 @@ def _block_mbv2_int(w: _Walker, meta, a: IAct, next_consumer, pack_target=None) 
     tail): every block output -- including the residual carries the strict
     contract keeps int32 -- requantizes onto pack_target's QAT grid and
     crosses HBM at 1 B/elt; the next add widens the packed carry."""
+    fused = w.try_fused_ir(meta, a, next_consumer, pack_target)
+    if fused is not None:
+        return fused
     v = a
     for prev, nxt in zip(meta.body[:-1], meta.body[1:]):
         v = w.conv_int(prev, v, pack_output_for=nxt)
@@ -1011,6 +1162,7 @@ def int_forward(
     stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
     dw_int: bool = False, dw_taps: bool = False, mxu_bf16: str = "",
     bf16_boundary: bool = False, int8_boundary: bool = False,
+    fuse_ir: bool = False,
     requant_bounds=None, requant_log=None,
 ):
     """Integer-only forward.  `x` is the conditioned uint8-range input:
@@ -1023,6 +1175,7 @@ def int_forward(
         stem_kernel=stem_kernel, stem_s2d=stem_s2d, stem_impl=stem_impl,
         dw_int=dw_int, dw_taps=dw_taps, mxu_bf16=mxu_bf16,
         bf16_boundary=bf16_boundary, int8_boundary=int8_boundary,
+        fuse_ir=fuse_ir,
         requant_bounds=requant_bounds,
         requant_log=requant_log,
     )
@@ -1083,6 +1236,7 @@ def _forward(
     stem_kernel: bool = False, stem_s2d: bool = False, stem_impl: str = "v2",
     dw_int: bool = False, dw_taps: bool = False, mxu_bf16: str = "",
     bf16_boundary: bool = False, int8_boundary: bool = False,
+    fuse_ir: bool = False,
     requant_bounds=None, requant_log=None,
 ):
     cfg = cfg or model.cfg
@@ -1090,7 +1244,7 @@ def _forward(
         model, plan, int_params, cfg, int_only, int8_operands, use_pallas,
         f32_taps, border_bias, stem_s2d=stem_s2d, dw_int=dw_int,
         dw_taps=dw_taps, mxu_bf16=mxu_bf16, bf16_boundary=bf16_boundary,
-        int8_boundary=int8_boundary,
+        int8_boundary=int8_boundary, fuse_ir=fuse_ir,
         requant_bounds=requant_bounds, requant_log=requant_log,
     )
     fam = model.name
@@ -1294,6 +1448,7 @@ class IntEngine:
         mxu_bf16: str = "",
         bf16_boundary: bool = False,
         int8_boundary: bool = False,
+        fuse_ir: bool = False,
     ):
         if bf16_boundary or int8_boundary:
             # the relaxed-boundary modes compose with the default engine
@@ -1337,7 +1492,7 @@ class IntEngine:
             maxpool_impl=maxpool_impl, stem_kernel=stem_kernel,
             stem_s2d=stem_s2d, stem_impl=stem_impl, dw_int=dw_int,
             dw_taps=dw_taps, mxu_bf16=mxu_bf16, bf16_boundary=bf16_boundary,
-            int8_boundary=int8_boundary,
+            int8_boundary=int8_boundary, fuse_ir=fuse_ir,
             requant_bounds=requant_bounds,
         )
         if int_only:
