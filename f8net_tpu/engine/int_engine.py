@@ -879,32 +879,27 @@ class _Walker:
             sd.is_depthwise
             and sd.kernel[0] == sd.kernel[1]
             and sd.padding[0] == sd.padding[1]
-            and sd.stride[0] == sd.stride[1]
-            and sd.stride[0] in (1, 2)
+            # stride-1 only on hardware: Mosaic rejects strided vector
+            # extracts (vector.extract_strided_slice strides must be 1), the
+            # same limitation that keeps stride-2 depthwise off pallas_dw.
+            # Stride-2 blocks fall back to the per-layer path.
+            and sd.stride == (1, 1)
         ):
             return None
         if not (sp.kernel == (1, 1) and sp.groups == 1 and sp.stride == (1, 1)):
             return None
+
+        from ..ops.pallas_ir_block import fused_ir_block, pick_bn_tile
 
         ple, pld, plp = self.plan[en], self.plan[dn], self.plan[pn]
         ap = self.pack_for(a, en)
         n, h, wd_, cin = ap.x.shape
         ce = sd.out_ch
         pad_ = sd.padding[0]
-        stride = sd.stride[0]
-        # VMEM working-set estimate per batch-tile image (bytes): expand i32
-        # + padded f32 window + dw acc f32 dominate; guard at ~10 MB so the
-        # 112^2 stride-2 block (est ~15 MB at bn=1) falls back per-layer
-        per_im = (
-            h * wd_ * (cin + 4 * ce)
-            + (h + 2 * pad_) * (wd_ + 2 * pad_) * 4 * ce
-            + (h // stride) * (wd_ // stride) * ce * 9
-        )
-        bn = 0
-        for cand in (16, 8, 4, 2, 1):
-            if n % cand == 0 and cand * per_im <= 10 * 2**20:
-                bn = cand
-                break
+        # peak per-row VMEM bytes with the chunked-scratch kernel layout
+        # (ops/pallas_ir_block.est_vmem_bytes)
+        per_row = cin + 3 * ce + 8 * sp.out_ch + 1200
+        bn = pick_bn_tile(n, h * wd_, per_row)
         if bn == 0:
             return None
 
@@ -918,13 +913,11 @@ class _Walker:
                 bz = p["b"] + 128 * jnp.sum(p["w"].astype(jnp.int32), axis=(0, 1, 2))
             return bz
 
-        from ..ops.pallas_ir_block import fused_ir_block
-
         w1 = pe["w"].reshape(cin, ce)
         wdw = pd["w"].reshape(sd.kernel[0], sd.kernel[1], ce)
         w2 = pp["w"].reshape(ce, sp.out_ch)
         common = dict(
-            stride=stride, pad=pad_,
+            h=h, w=wd_, pad=pad_,
             net1=ple.out_fl - pld.input_fl, dw_in_signed=pld.input_symmetric,
             net2=pld.out_fl - plp.input_fl, proj_in_signed=plp.input_symmetric,
             bn_tile=bn,

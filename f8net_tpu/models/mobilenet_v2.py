@@ -147,6 +147,11 @@ def build_mobilenet_v2(cfg, num_classes: int = 1000, pool_kernel: int = 7) -> Mo
         a = r.conv("head", Act(x))
         a = r.relu(a)
         for meta in blocks:
+            if meta.residual and c.qat_boundary == "int8" and not r.int_sim:
+                # deployment-aware QAT: the residual carry lives on the
+                # block's first conv 8-bit grid, as the int8-boundary
+                # engine's 1-byte carry does (engine/int_engine.py pack_for)
+                a = r.boundary_quant(meta.body[0], a)
             a_in = a
             for cname in meta.body:
                 a = r.conv(cname, a)

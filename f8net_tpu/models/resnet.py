@@ -180,6 +180,11 @@ def _block_forward(r: Runner, meta: BlockMeta, a_in: Act) -> Act:
     """Basic/Bottleneck forward (fix_resnet.py:156-186, 256-286).  No explicit
     ReLU between body convs: the next conv's unsigned input quantization *is*
     the fused ReLU; an explicit ReLU follows the residual add."""
+    if r.cfg.qat_boundary == "int8" and not r.int_sim:
+        # deployment-aware QAT: the block input (identity carry + conv
+        # input) lives on body[0]'s 8-bit grid, as the int8-boundary
+        # engine's 1-byte carry does (engine/int_engine.py pack_for)
+        a_in = r.boundary_quant(meta.body[0], a_in)
     a = a_in
     for cname in meta.body:
         a = r.conv(cname, a)

@@ -48,6 +48,23 @@ class Runner:
         a = as_act(act)
         return Act(jax.nn.relu(a.x), a.fl)
 
+    def boundary_quant(self, name: str, act) -> Act:
+        """Deployment-aware QAT boundary (cfg.qat_boundary == 'int8'):
+        quantize a residual-block input onto conv `name`'s 8-bit input grid
+        with STE -- the int8-boundary engine's 1-byte carry semantics
+        simulated during training, so QAT adapts to the deployment rung.
+        Uses the conv's own fraclen rule (live metric in training, rounded
+        EMA at eval) but discards the EMA update: the conv itself performs
+        it when it consumes this tensor."""
+        from .quant_layers import _quantize_input
+
+        a = as_act(act)
+        x_val, _fl, _upd = _quantize_input(
+            self.graph, self.cfg, name, self.state, a.x,
+            self.mode in ("train", "calib"),
+        )
+        return Act(x_val, None)
+
     @property
     def int_sim(self) -> bool:
         """Integer-simulation eval (the reference's int_infer flag gating

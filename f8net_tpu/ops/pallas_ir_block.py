@@ -1,8 +1,8 @@
 """Pallas TPU kernel: FUSED MobileNetV2 inverted-residual block.
 
-expand(1x1) -> ReLU-absorbing requant -> depthwise(3x3) -> requant ->
-project(1x1) [-> aligned residual add] in ONE kernel, keeping the 6x
-expanded activation entirely in VMEM.
+expand(1x1) -> ReLU-absorbing requant -> depthwise(3x3, stride 1) ->
+requant -> project(1x1) [-> aligned residual add] in ONE kernel, keeping
+the 6x expanded activation entirely in VMEM.
 
 Why (round-5 MBv2 attribution, docs/BENCHMARKS.md): the per-layer engine
 crosses HBM four times per block with the expanded tensor (expand-out
@@ -13,6 +13,15 @@ come from Mosaic matmul quality beating XLA's (it doesn't); this kernel's
 win is traffic elimination, which per-layer XLA cannot express because XLA
 never fuses conv->conv.
 
+Layout: everything stays 2-D (rows = N*H*W in image-major raster order,
+lanes = channels) -- Mosaic rejects 4-D shape casts on unaligned sublanes
+(tpu.reshape (4,14,14,96)->(784,96): "unsupported shape cast"), so the
+depthwise stage runs as 9 shifted-ROW slices of the zero-padded flat
+tensor, with iota-derived row/column validity masks standing in for
+spatial zero padding.  A tap at offset (dy,dx) is a row shift of dy*W+dx;
+rows whose y+dy / x+dx fall outside the image are masked to zero, which
+also kills cross-image contamination at raster boundaries.
+
 Numerics: identical to the per-layer engine path, junction by junction --
   * expand: s8 x s8 -> s32 dot + zp-compensated bias (caller precomputes),
   * requant: static-shift round-half-to-even + clamp (= shift_requant /
@@ -20,8 +29,10 @@ Numerics: identical to the per-layer engine path, junction by junction --
     fix_quant_ops.py:90-114 semantics),
   * ReLU absorbed by the unsigned clamp (engine pack_for),
   * depthwise: exact integer accumulation in f32 on the UNPACKED grid
-    values (0..255) with zero-point-0 padding and the plain bias -- the
-    same exact integers as the engine's packed s8 + b_zp form,
+    values (0..255, exact in bf16 operands; products <= 255*127 and <= 25
+    taps keep |acc| < 2^22 -- f32-exact) with zero-point-0 padding and the
+    plain bias -- the same exact integers as the engine's packed s8 + b_zp
+    form,
   * project: s8 x s8 -> s32 dot + zp-compensated bias,
   * residual: left-shift grid alignment + saturating int32 add
     (engine add_int, fix_resnet.py:40-76).
@@ -43,67 +54,88 @@ from .pallas_gemm import _requant_i32
 
 INT32_MAX = 2**31 - 1
 
+# VMEM working-set guard (bytes) for eligibility decisions by callers
+VMEM_BUDGET = 10 * 2**20
+
+
+def est_vmem_bytes(rows: int, cin: int, ce: int, cout: int) -> int:
+    """Peak per-grid-step VMEM bytes with the chunked-scratch layout:
+    bf16 padded window scratch (2*ce) + int8 packed scratch (ce) + <=128-
+    lane chunk temporaries (~1.2 KB/row) + int32 project/carry (8*cout)."""
+    return rows * (cin + 3 * ce + 8 * cout + 1200) + 2 * ce * (cin + cout)
+
+
+def _ce_chunks(ce: int, step: int = 128):
+    """Lane-aligned channel chunks: 128-lane steps plus a tail."""
+    return [(c0, min(c0 + step, ce)) for c0 in range(0, ce, step)]
+
 
 def _ir_kernel(
     x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref, carry_ref, o_ref,
+    dpad_ref, pin_ref,
     *,
-    kh: int, kw: int, pad: int, stride: int,
+    h: int, w: int, kh: int, kw: int, pad: int,
     net1: int, dw_in_signed: bool,
     net2: int, proj_in_signed: bool,
     out: str, net_out: int, out_signed: bool,
     shift_res: int, shift_carry: int, out_fl: int,
 ):
-    bn, h, w, cin = x_ref.shape
+    rows, cin = x_ref.shape
     ce = wd_ref.shape[1]
-    cout = w2_ref.shape[1]
-    oh = (h + 2 * pad - kh) // stride + 1
-    ow = (w + 2 * pad - kw) // stride + 1
+    P = pad * w + pad  # max |row shift|
 
-    # ---- expand 1x1: s8 dot -> s32 + bias, requant onto the dw grid ----
-    xm = x_ref[:].reshape(bn * h * w, cin)
-    e = jax.lax.dot_general(
-        xm, w1_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ) + b1_ref[:]
-    r1 = _requant_i32(e, net1, dw_in_signed)  # unpacked grid value
-    # dw math runs on the unpacked value in f32 (exact: |acc| <= 9*255*127
-    # < 2^19); zero-point of the unpacked grid is 0, so plain zero padding
-    # and the plain dw bias are the engine's packed-form math exactly
-    d_in = r1.astype(jnp.float32).reshape(bn, h, w, ce)
+    # The whole expanded activation lives ONLY in the two VMEM scratch
+    # buffers (dpad_ref bf16, pin_ref int8); every dense temporary is
+    # chunked to <=128 lanes so the compiler's scoped stack stays small
+    # (the single-expression form allocated 19.7 MB at 1568x576 and OOMed
+    # the 16 MB VMEM stack).
+    dpad_ref[0:P, :] = jnp.zeros((P, ce), jnp.bfloat16)
+    dpad_ref[P + rows :, :] = jnp.zeros((P, ce), jnp.bfloat16)
 
-    # ---- depthwise kh x kw ----
-    hp, wp = h + 2 * pad, w + 2 * pad
-    zrow = jnp.zeros((bn, pad, w, ce), jnp.float32)
-    zcol = jnp.zeros((bn, hp, pad, ce), jnp.float32)
-    win = jnp.concatenate([zrow, d_in, zrow], axis=1)
-    win = jnp.concatenate([zcol, win, zcol], axis=2)
-    wall = wd_ref[:].astype(jnp.float32)  # (kh*kw, Ce)
-    acc = jnp.zeros((bn, oh, ow, ce), jnp.float32)
-    for ky in range(kh):
-        for kx in range(kw):
-            patch = jax.lax.slice(
-                win,
-                (0, ky, kx, 0),
-                (bn, ky + (oh - 1) * stride + 1, kx + (ow - 1) * stride + 1, ce),
-                (1, stride, stride, 1),
-            )
-            wk = jax.lax.slice(wall, (ky * kw + kx, 0), (ky * kw + kx + 1, ce))
-            acc += patch * wk.reshape(1, 1, 1, ce)
-    d = acc.astype(jnp.int32) + bd_ref[:].reshape(1, 1, 1, ce)
-    r2 = _requant_i32(d, net2, proj_in_signed)
+    for c0, c1 in _ce_chunks(ce):
+        # ---- expand 1x1 chunk: s8 dot -> s32 + bias, requant to dw grid ----
+        e = jax.lax.dot_general(
+            x_ref[:], w1_ref[:, c0:c1],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ) + b1_ref[:, c0:c1]
+        # bf16 holds the 8-bit grid values exactly
+        dpad_ref[P : P + rows, c0:c1] = _requant_i32(
+            e, net1, dw_in_signed
+        ).astype(jnp.bfloat16)
 
-    # ---- project 1x1: pack, s8 dot -> s32 + zp-compensated bias ----
-    if proj_in_signed:
-        p_in = r2.astype(jnp.int8)
-    else:
-        p_in = (r2 - 128).astype(jnp.int8)
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    y_idx = (r_idx // w) % h
+    x_idx = r_idx % w
+    for c0, c1 in _ce_chunks(ce):
+        # ---- depthwise chunk: 9 shifted-row slices with validity masks ----
+        acc = jnp.zeros((rows, c1 - c0), jnp.float32)
+        for ky in range(kh):
+            for kx in range(kw):
+                dy, dx = ky - pad, kx - pad
+                ofs = P + dy * w + dx
+                shifted = dpad_ref[ofs : ofs + rows, c0:c1].astype(jnp.float32)
+                valid = (
+                    (y_idx + dy >= 0) & (y_idx + dy < h)
+                    & (x_idx + dx >= 0) & (x_idx + dx < w)
+                )
+                wk = wd_ref[ky * kw + kx : ky * kw + kx + 1, c0:c1].astype(
+                    jnp.float32
+                )
+                acc += jnp.where(valid, shifted * wk, 0.0)
+        d = acc.astype(jnp.int32) + bd_ref[:, c0:c1]
+        r2 = _requant_i32(d, net2, proj_in_signed)
+        if proj_in_signed:
+            pin_ref[:, c0:c1] = r2.astype(jnp.int8)
+        else:
+            pin_ref[:, c0:c1] = (r2 - 128).astype(jnp.int8)
+
+    # ---- project 1x1: s8 dot -> s32 + zp-compensated bias ----
     y = jax.lax.dot_general(
-        p_in.reshape(bn * oh * ow, ce), w2_ref[:],
+        pin_ref[:], w2_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     ) + b2_ref[:]
-    y = y.reshape(bn, oh, ow, cout)
 
     # ---- residual + emission ----
     if carry_ref is not None:
@@ -126,10 +158,31 @@ def _ir_kernel(
         raise NotImplementedError(out)
 
 
+def _ir_kernel_nocarry(
+    x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref, o_ref,
+    dpad_ref, pin_ref, **kw
+):
+    _ir_kernel(
+        x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref, None, o_ref,
+        dpad_ref, pin_ref, **kw,
+    )
+
+
+def pick_bn_tile(n: int, hw: int, per_row_bytes: int) -> int:
+    """Largest images-per-block bn with bn*hw a multiple of 32 sublanes
+    (int8 tile) and the VMEM estimate under budget; 0 = ineligible."""
+    for bn in (32, 16, 8, 4, 2, 1):
+        if n % bn or (bn * hw) % 32:
+            continue
+        if bn * hw * per_row_bytes <= VMEM_BUDGET:
+            return bn
+    return 0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "stride", "pad", "net1", "dw_in_signed", "net2", "proj_in_signed",
+        "h", "w", "pad", "net1", "dw_in_signed", "net2", "proj_in_signed",
         "out", "net_out", "out_signed", "shift_res", "shift_carry",
         "out_fl", "bn_tile", "interpret",
     ),
@@ -142,9 +195,9 @@ def fused_ir_block(
     bd: jnp.ndarray,          # (Ce,) int32, plain (unpacked-grid) bias
     w2: jnp.ndarray,          # (Ce,Cout) int8
     b2: jnp.ndarray,          # (Cout,) int32, zp-compensated for proj input
-    carry: Optional[jnp.ndarray] = None,  # (N,OH,OW,Cout) int32 residual
+    carry: Optional[jnp.ndarray] = None,  # (N,H,W,Cout) int32 residual
     *,
-    stride: int = 1,
+    h: int, w: int,
     pad: int = 1,
     net1: int = 0,
     dw_in_signed: bool = False,
@@ -159,57 +212,57 @@ def fused_ir_block(
     bn_tile: int = 4,
     interpret: Optional[bool] = None,
 ):
-    n, h, w, cin = x8.shape
+    n = x8.shape[0]
+    cin = x8.shape[-1]
     kh, kw, ce = wd.shape
     cout = w2.shape[1]
-    oh = (h + 2 * pad - kh) // stride + 1
-    ow = (w + 2 * pad - kw) // stride + 1
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
-    bn = min(bn_tile, n)
-    assert n % bn == 0, (n, bn)
+    hw = h * w
+    bn = bn_tile
+    assert n % bn == 0 and (bn * hw) % 32 == 0, (n, bn, hw)
+    rows_blk = bn * hw
     grid = (n // bn,)
 
+    x2 = x8.reshape(n * hw, cin)  # XLA-side reshape: free
     wd2 = wd.reshape(kh * kw, ce)
     odt = {"int32": jnp.int32, "requant8": jnp.int8, "bf16": jnp.bfloat16}[out]
 
     in_specs = [
-        pl.BlockSpec((bn, h, w, cin), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((rows_blk, cin), lambda i: (i, 0)),
         pl.BlockSpec((cin, ce), lambda i: (0, 0)),
-        pl.BlockSpec((ce,), lambda i: (0,)),
+        pl.BlockSpec((1, ce), lambda i: (0, 0)),
         pl.BlockSpec((kh * kw, ce), lambda i: (0, 0)),
-        pl.BlockSpec((ce,), lambda i: (0,)),
+        pl.BlockSpec((1, ce), lambda i: (0, 0)),
         pl.BlockSpec((ce, cout), lambda i: (0, 0)),
-        pl.BlockSpec((cout,), lambda i: (0,)),
+        pl.BlockSpec((1, cout), lambda i: (0, 0)),
     ]
-    args = [x8, w1, b1.astype(jnp.int32), wd2, bd.astype(jnp.int32),
-            w2, b2.astype(jnp.int32)]
+    args = [x2, w1, b1.astype(jnp.int32).reshape(1, ce), wd2,
+            bd.astype(jnp.int32).reshape(1, ce), w2,
+            b2.astype(jnp.int32).reshape(1, cout)]
     if carry is not None:
-        in_specs.append(pl.BlockSpec((bn, oh, ow, cout), lambda i: (i, 0, 0, 0)))
-        args.append(carry)
+        in_specs.append(pl.BlockSpec((rows_blk, cout), lambda i: (i, 0)))
+        args.append(carry.reshape(n * hw, cout))
 
     kern = functools.partial(
         _ir_kernel if carry is not None else _ir_kernel_nocarry,
-        kh=kh, kw=kw, pad=pad, stride=stride,
+        h=h, w=w, kh=kh, kw=kw, pad=pad,
         net1=net1, dw_in_signed=dw_in_signed,
         net2=net2, proj_in_signed=proj_in_signed,
         out=out, net_out=net_out, out_signed=out_signed,
         shift_res=shift_res, shift_carry=shift_carry, out_fl=out_fl,
     )
-    return pl.pallas_call(
+    pad_rows = pad * w + pad
+    y2 = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bn, oh, ow, cout), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, oh, ow, cout), odt),
+        out_specs=pl.BlockSpec((rows_blk, cout), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n * hw, cout), odt),
+        scratch_shapes=[
+            pltpu.VMEM((rows_blk + 2 * pad_rows, ce), jnp.bfloat16),
+            pltpu.VMEM((rows_blk, ce), jnp.int8),
+        ],
         interpret=interpret,
     )(*args)
-
-
-def _ir_kernel_nocarry(
-    x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref, o_ref, **kw
-):
-    _ir_kernel(
-        x_ref, w1_ref, b1_ref, wd_ref, bd_ref, w2_ref, b2_ref, None, o_ref,
-        **kw,
-    )
+    return y2.reshape(n, h, w, cout)

@@ -46,6 +46,15 @@ class QuantConfig:
     quant_avgpool: bool = False
     quant_maxpool: bool = False
     pool_fusing: bool = False
+    # Deployment-aware QAT (beyond the reference): '' trains the reference's
+    # graph (residual carries at full precision); 'int8' additionally
+    # quantizes every residual-block INPUT onto its first conv's 8-bit grid
+    # with STE, so training sees the int8-boundary engine's carry semantics
+    # (1-byte block boundaries) and the trained model deploys on that rung
+    # without the accuracy cliff measured in r5 (docs/artifacts/r5/
+    # r5_boundary_accuracy.json: R18 int8b -4.3pt top-1 when trained
+    # without this).
+    qat_boundary: str = ""
     bn_momentum: float = 0.1
     bn_eps: float = 1e-5
     # TPU knob (beyond the reference, off by default): run the QAT
