@@ -896,9 +896,9 @@ class _Walker:
         n, h, wd_, cin = ap.x.shape
         ce = sd.out_ch
         pad_ = sd.padding[0]
-        # peak per-row VMEM bytes with the chunked-scratch kernel layout
-        # (ops/pallas_ir_block.est_vmem_bytes)
-        per_row = cin + 3 * ce + 8 * sp.out_ch + 1200
+        # peak per-row VMEM bytes with the slabbed chunked-scratch kernel
+        # layout (ops/pallas_ir_block.est_vmem_bytes)
+        per_row = cin + 3 * ce + 8 * sp.out_ch
         bn = pick_bn_tile(n, h * wd_, per_row)
         if bn == 0:
             return None

@@ -58,16 +58,39 @@ INT32_MAX = 2**31 - 1
 VMEM_BUDGET = 10 * 2**20
 
 
+# Mosaic's scoped stack holds ~8 concurrent <=128-lane f32 temporaries per
+# slab-chunk iteration: 8 * 1024 rows * 128 * 4 B ~= 4.2 MB, independent of
+# the block size thanks to _row_slabs
+SLAB_OVERHEAD = 4_500_000
+
+
 def est_vmem_bytes(rows: int, cin: int, ce: int, cout: int) -> int:
-    """Peak per-grid-step VMEM bytes with the chunked-scratch layout:
-    bf16 padded window scratch (2*ce) + int8 packed scratch (ce) + <=128-
-    lane chunk temporaries (~1.2 KB/row) + int32 project/carry (8*cout)."""
-    return rows * (cin + 3 * ce + 8 * cout + 1200) + 2 * ce * (cin + cout)
+    """Peak per-grid-step VMEM bytes with the slabbed chunked-scratch
+    layout: bf16 padded window scratch (2*ce) + int8 packed scratch (ce) +
+    int32 project out/carry (8*cout) + the fixed slab-iteration stack."""
+    return rows * (cin + 3 * ce + 8 * cout) + SLAB_OVERHEAD
 
 
 def _ce_chunks(ce: int, step: int = 128):
     """Lane-aligned channel chunks: 128-lane steps plus a tail."""
     return [(c0, min(c0 + step, ce)) for c0 in range(0, ce, step)]
+
+
+def _row_slabs(rows: int, target: int = 1024):
+    """Static row slabs, each a multiple of 32 sublanes, ~target rows: the
+    Mosaic scoped-stack cost is (per-iteration temporaries) x (slab rows) x
+    (chunk lanes), so slabbing bounds it independently of the block size."""
+    if rows <= target:
+        return [(0, rows)]
+    units = rows // 32
+    n_slabs = max(1, (rows + target - 1) // target)
+    base, extra = divmod(units, n_slabs)
+    out, start = [], 0
+    for i in range(n_slabs):
+        size = (base + (1 if i < extra else 0)) * 32
+        out.append((start, size))
+        start += size
+    return out
 
 
 def _ir_kernel(
@@ -92,43 +115,47 @@ def _ir_kernel(
     dpad_ref[0:P, :] = jnp.zeros((P, ce), jnp.bfloat16)
     dpad_ref[P + rows :, :] = jnp.zeros((P, ce), jnp.bfloat16)
 
-    for c0, c1 in _ce_chunks(ce):
-        # ---- expand 1x1 chunk: s8 dot -> s32 + bias, requant to dw grid ----
-        e = jax.lax.dot_general(
-            x_ref[:], w1_ref[:, c0:c1],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ) + b1_ref[:, c0:c1]
-        # bf16 holds the 8-bit grid values exactly
-        dpad_ref[P : P + rows, c0:c1] = _requant_i32(
-            e, net1, dw_in_signed
-        ).astype(jnp.bfloat16)
+    for s0, sn in _row_slabs(rows):
+        for c0, c1 in _ce_chunks(ce):
+            # ---- expand slab x chunk: s8 dot -> s32 + bias, requant ----
+            e = jax.lax.dot_general(
+                x_ref[s0 : s0 + sn, :], w1_ref[:, c0:c1],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ) + b1_ref[:, c0:c1]
+            # bf16 holds the 8-bit grid values exactly
+            dpad_ref[P + s0 : P + s0 + sn, c0:c1] = _requant_i32(
+                e, net1, dw_in_signed
+            ).astype(jnp.bfloat16)
 
-    r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    y_idx = (r_idx // w) % h
-    x_idx = r_idx % w
-    for c0, c1 in _ce_chunks(ce):
-        # ---- depthwise chunk: 9 shifted-row slices with validity masks ----
-        acc = jnp.zeros((rows, c1 - c0), jnp.float32)
-        for ky in range(kh):
-            for kx in range(kw):
-                dy, dx = ky - pad, kx - pad
-                ofs = P + dy * w + dx
-                shifted = dpad_ref[ofs : ofs + rows, c0:c1].astype(jnp.float32)
-                valid = (
-                    (y_idx + dy >= 0) & (y_idx + dy < h)
-                    & (x_idx + dx >= 0) & (x_idx + dx < w)
-                )
-                wk = wd_ref[ky * kw + kx : ky * kw + kx + 1, c0:c1].astype(
-                    jnp.float32
-                )
-                acc += jnp.where(valid, shifted * wk, 0.0)
-        d = acc.astype(jnp.int32) + bd_ref[:, c0:c1]
-        r2 = _requant_i32(d, net2, proj_in_signed)
-        if proj_in_signed:
-            pin_ref[:, c0:c1] = r2.astype(jnp.int8)
-        else:
-            pin_ref[:, c0:c1] = (r2 - 128).astype(jnp.int8)
+    for s0, sn in _row_slabs(rows):
+        r_idx = s0 + jax.lax.broadcasted_iota(jnp.int32, (sn, 1), 0)
+        y_idx = (r_idx // w) % h
+        x_idx = r_idx % w
+        for c0, c1 in _ce_chunks(ce):
+            # ---- depthwise: 9 shifted-row slices with validity masks ----
+            acc = jnp.zeros((sn, c1 - c0), jnp.float32)
+            for ky in range(kh):
+                for kx in range(kw):
+                    dy, dx = ky - pad, kx - pad
+                    ofs = P + s0 + dy * w + dx
+                    shifted = dpad_ref[ofs : ofs + sn, c0:c1].astype(
+                        jnp.float32
+                    )
+                    valid = (
+                        (y_idx + dy >= 0) & (y_idx + dy < h)
+                        & (x_idx + dx >= 0) & (x_idx + dx < w)
+                    )
+                    wk = wd_ref[
+                        ky * kw + kx : ky * kw + kx + 1, c0:c1
+                    ].astype(jnp.float32)
+                    acc += jnp.where(valid, shifted * wk, 0.0)
+            d = acc.astype(jnp.int32) + bd_ref[:, c0:c1]
+            r2 = _requant_i32(d, net2, proj_in_signed)
+            if proj_in_signed:
+                pin_ref[s0 : s0 + sn, c0:c1] = r2.astype(jnp.int8)
+            else:
+                pin_ref[s0 : s0 + sn, c0:c1] = (r2 - 128).astype(jnp.int8)
 
     # ---- project 1x1: s8 dot -> s32 + zp-compensated bias ----
     y = jax.lax.dot_general(
@@ -174,7 +201,7 @@ def pick_bn_tile(n: int, hw: int, per_row_bytes: int) -> int:
     for bn in (32, 16, 8, 4, 2, 1):
         if n % bn or (bn * hw) % 32:
             continue
-        if bn * hw * per_row_bytes <= VMEM_BUDGET:
+        if bn * hw * per_row_bytes + SLAB_OVERHEAD <= VMEM_BUDGET:
             return bn
     return 0
 
