@@ -889,16 +889,37 @@ class _Walker:
         if not (sp.kernel == (1, 1) and sp.groups == 1 and sp.stride == (1, 1)):
             return None
 
-        from ..ops.pallas_ir_block import fused_ir_block, pick_bn_tile
+        from ..ops.pallas_ir_block import (
+            fused_ir_block, per_row_bytes, pick_bn_tile,
+        )
 
         ple, pld, plp = self.plan[en], self.plan[dn], self.plan[pn]
         ap = self.pack_for(a, en)
         n, h, wd_, cin = ap.x.shape
         ce = sd.out_ch
         pad_ = sd.padding[0]
-        # peak per-row VMEM bytes with the slabbed chunked-scratch kernel
-        # layout (ops/pallas_ir_block.est_vmem_bytes)
-        per_row = cin + 3 * ce + 8 * sp.out_ch
+        # window/scratch VMEM depends on the boundary mode: packed s8
+        # carries and requant8/bf16 emissions shrink the lane-padded int32
+        # windows that dominated the measured stack
+        if meta.residual:
+            carry_b = 1 if (self.int8_boundary and a.packed_for is not None) else (
+                0 if a.scaled else 4
+            )
+        else:
+            carry_b = 0
+        if meta.residual:
+            if a.scaled or self.bf16_boundary:
+                out_b = 2
+            elif self.int8_boundary and pack_target is not None:
+                out_b = 1
+            else:
+                out_b = 4
+        else:
+            emits8 = next_consumer is not None or (
+                self.int8_boundary and pack_target is not None
+            )
+            out_b = 1 if emits8 else (2 if self.bf16_boundary else 4)
+        per_row = per_row_bytes(cin, ce, sp.out_ch, carry_b, out_b)
         bn = pick_bn_tile(n, h * wd_, per_row)
         if bn == 0:
             return None
@@ -937,12 +958,21 @@ class _Walker:
                 )
                 out = self.add_int(IAct(y, plp.out_fl, scaled=True), a)
                 return out
-            carry = self._widen(a) if a.packed_for is not None else a
-            rf, vf = plp.out_fl, carry.fl
+            if a.packed_for is not None:
+                # keep the 1-byte carry packed on the wire; the kernel
+                # widens in-register (engine _widen semantics)
+                cpl = self.plan[a.packed_for]
+                carry_x = a.x
+                carry_fl = cpl.input_fl
+                carry_off = 0 if cpl.input_symmetric else 128
+                bv = 256
+            else:
+                carry_x, carry_fl, carry_off = a.x, a.fl, 0
+                bv = a.abs_bound
+            rf, vf = plp.out_fl, carry_fl
             shift_res, shift_carry = max(vf - rf, 0), max(rf - vf, 0)
             out_fl = max(rf, vf)
             br = self._bound(pn)
-            bv = carry.abs_bound
             ab = (
                 None if (br is None or bv is None)
                 else min((br << shift_res) + (bv << shift_carry), INT32_MAX)
@@ -950,15 +980,17 @@ class _Walker:
             if self.int8_boundary and pack_target is not None:
                 tgt = self.plan[pack_target]
                 y8 = fused_ir_block(
-                    ap.x, w1, b1, wdw, bdw, w2, b2, carry.x,
+                    ap.x, w1, b1, wdw, bdw, w2, b2, carry_x,
                     out="requant8", net_out=out_fl - tgt.input_fl,
                     out_signed=tgt.input_symmetric,
-                    shift_res=shift_res, shift_carry=shift_carry, **kw,
+                    shift_res=shift_res, shift_carry=shift_carry,
+                    carry_add_offset=carry_off, **kw,
                 )
                 return IAct(y8, tgt.input_fl, packed_for=pack_target)
             y = fused_ir_block(
-                ap.x, w1, b1, wdw, bdw, w2, b2, carry.x,
-                out="int32", shift_res=shift_res, shift_carry=shift_carry, **kw,
+                ap.x, w1, b1, wdw, bdw, w2, b2, carry_x,
+                out="int32", shift_res=shift_res, shift_carry=shift_carry,
+                carry_add_offset=carry_off, **kw,
             )
             if self.bf16_boundary:
                 # relaxed boundary of the ADD output (engine add_int keeps

@@ -54,21 +54,44 @@ from .pallas_gemm import _requant_i32
 
 INT32_MAX = 2**31 - 1
 
-# VMEM working-set guard (bytes) for eligibility decisions by callers
-VMEM_BUDGET = 10 * 2**20
+# VMEM working-set guard (bytes): the estimate below tracks the compiler's
+# scoped-stack report (16.90 MB measured vs 17.2 MB estimated at the
+# 56^2x144 block), so the budget can sit near the 16 MB hardware limit
+VMEM_BUDGET = 14 * 2**20
 
 
-# Mosaic's scoped stack holds ~8 concurrent <=128-lane f32 temporaries per
-# slab-chunk iteration: 8 * 1024 rows * 128 * 4 B ~= 4.2 MB, independent of
-# the block size thanks to _row_slabs
-SLAB_OVERHEAD = 4_500_000
+# slab-iteration temporaries: ~16 concurrent <=128-lane f32 values per
+# slab-chunk iteration at 512-row slabs ~= 4.2 MB, independent of block size
+SLAB_OVERHEAD = 4_200_000
 
 
-def est_vmem_bytes(rows: int, cin: int, ce: int, cout: int) -> int:
-    """Peak per-grid-step VMEM bytes with the slabbed chunked-scratch
-    layout: bf16 padded window scratch (2*ce) + int8 packed scratch (ce) +
-    int32 project out/carry (8*cout) + the fixed slab-iteration stack."""
-    return rows * (cin + 3 * ce + 8 * cout) + SLAB_OVERHEAD
+def _rup(c: int) -> int:
+    """Mosaic pads the lane (minor) dimension to 128: a 24-channel int32
+    window occupies 128 lanes of VMEM.  This padding -- doubled again by
+    the pipeline's double buffering -- dominated the measured stack
+    (16.90 MB at 56^2 x 144, cout 24: the int32 carry+out windows alone
+    were ~12.8 MB)."""
+    return -(-c // 128) * 128
+
+
+def per_row_bytes(
+    cin: int, ce: int, cout: int, carry_bytes: int, out_bytes: int
+) -> int:
+    """Per-row VMEM bytes: double-buffered lane-padded in/out windows +
+    the two expanded-activation scratch buffers (bf16 window + s8 packed).
+    carry_bytes: 0 no residual, 1 packed s8 (int8-boundary), 4 int32
+    (strict); out_bytes: 1 s8 / 2 bf16 / 4 int32."""
+    return (
+        2 * _rup(cin)
+        + 3 * _rup(ce)
+        + 2 * carry_bytes * _rup(cout)
+        + 2 * out_bytes * _rup(cout)
+    )
+
+
+def est_vmem_bytes(rows: int, cin: int, ce: int, cout: int,
+                   carry_bytes: int = 4, out_bytes: int = 4) -> int:
+    return rows * per_row_bytes(cin, ce, cout, carry_bytes, out_bytes) + SLAB_OVERHEAD
 
 
 def _ce_chunks(ce: int, step: int = 128):
@@ -76,7 +99,7 @@ def _ce_chunks(ce: int, step: int = 128):
     return [(c0, min(c0 + step, ce)) for c0 in range(0, ce, step)]
 
 
-def _row_slabs(rows: int, target: int = 1024):
+def _row_slabs(rows: int, target: int = 512):
     """Static row slabs, each a multiple of 32 sublanes, ~target rows: the
     Mosaic scoped-stack cost is (per-iteration temporaries) x (slab rows) x
     (chunk lanes), so slabbing bounds it independently of the block size."""
@@ -102,6 +125,7 @@ def _ir_kernel(
     net2: int, proj_in_signed: bool,
     out: str, net_out: int, out_signed: bool,
     shift_res: int, shift_carry: int, out_fl: int,
+    carry_add_offset: int = 0,
 ):
     rows, cin = x_ref.shape
     ce = wd_ref.shape[1]
@@ -157,32 +181,38 @@ def _ir_kernel(
             else:
                 pin_ref[s0 : s0 + sn, c0:c1] = (r2 - 128).astype(jnp.int8)
 
-    # ---- project 1x1: s8 dot -> s32 + zp-compensated bias ----
-    y = jax.lax.dot_general(
-        pin_ref[:], w2_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ) + b2_ref[:]
-
-    # ---- residual + emission ----
-    if carry_ref is not None:
-        y = jnp.clip(
-            (y << shift_res) + (carry_ref[:] << shift_carry),
-            -INT32_MAX, INT32_MAX,
-        )
-    if out == "int32":
-        o_ref[:] = y
-    elif out == "requant8":
-        r = _requant_i32(y, net_out, out_signed)
-        if not out_signed:
-            r = r - 128
-        o_ref[:] = r.astype(jnp.int8)
-    elif out == "bf16":
-        o_ref[:] = (y.astype(jnp.float32) * float(2.0**-out_fl)).astype(
-            jnp.bfloat16
-        )
-    else:
-        raise NotImplementedError(out)
+    # ---- project 1x1 + residual + emission, per row slab (the full-rows
+    # form dominated the scoped stack: 16.9 MB at 6272x144, OOM) ----
+    for s0, sn in _row_slabs(rows):
+        y = jax.lax.dot_general(
+            pin_ref[s0 : s0 + sn, :], w2_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ) + b2_ref[:]
+        if carry_ref is not None:
+            # packed 1-byte carries (int8-boundary rung) widen exactly to
+            # their int32 grid value in-register: s8 [+128 for unsigned
+            # grids] (engine _widen semantics)
+            cw = carry_ref[s0 : s0 + sn, :].astype(jnp.int32)
+            if carry_add_offset:
+                cw = cw + carry_add_offset
+            y = jnp.clip(
+                (y << shift_res) + (cw << shift_carry),
+                -INT32_MAX, INT32_MAX,
+            )
+        if out == "int32":
+            o_ref[s0 : s0 + sn, :] = y
+        elif out == "requant8":
+            r = _requant_i32(y, net_out, out_signed)
+            if not out_signed:
+                r = r - 128
+            o_ref[s0 : s0 + sn, :] = r.astype(jnp.int8)
+        elif out == "bf16":
+            o_ref[s0 : s0 + sn, :] = (
+                y.astype(jnp.float32) * float(2.0**-out_fl)
+            ).astype(jnp.bfloat16)
+        else:
+            raise NotImplementedError(out)
 
 
 def _ir_kernel_nocarry(
@@ -211,7 +241,7 @@ def pick_bn_tile(n: int, hw: int, per_row_bytes: int) -> int:
     static_argnames=(
         "h", "w", "pad", "net1", "dw_in_signed", "net2", "proj_in_signed",
         "out", "net_out", "out_signed", "shift_res", "shift_carry",
-        "out_fl", "bn_tile", "interpret",
+        "out_fl", "bn_tile", "carry_add_offset", "interpret",
     ),
 )
 def fused_ir_block(
@@ -236,6 +266,7 @@ def fused_ir_block(
     shift_res: int = 0,
     shift_carry: int = 0,
     out_fl: int = 0,
+    carry_add_offset: int = 0,
     bn_tile: int = 4,
     interpret: Optional[bool] = None,
 ):
@@ -278,6 +309,7 @@ def fused_ir_block(
         net2=net2, proj_in_signed=proj_in_signed,
         out=out, net_out=net_out, out_signed=out_signed,
         shift_res=shift_res, shift_carry=shift_carry, out_fl=out_fl,
+        carry_add_offset=carry_add_offset,
     )
     pad_rows = pad * w + pad
     y2 = pl.pallas_call(
