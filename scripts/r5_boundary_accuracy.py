@@ -61,7 +61,17 @@ CFG = QuantConfig(
 )
 NCLS, HW, BATCH = 64, 32, 64
 NEVAL, EVAL_BS = 10_240, 512
-SEEDS = (0, 1, 2)
+# overridable for time-boxed continuation runs (R5_SEEDS="0,1"
+# R5_LADDER="0.02:500,0.008:800"); defaults = the full program
+SEEDS = tuple(
+    int(s) for s in os.environ.get("R5_SEEDS", "0,1,2").split(",")
+)
+LADDER = [
+    (float(p.split(":")[0]), int(p.split(":")[1]))
+    for p in os.environ.get(
+        "R5_LADDER", "0.05:300,0.02:500,0.05:800,0.008:800,0.02:1200"
+    ).split(",")
+]
 FAMILIES = ("resnet18", "resnet50", "mobilenet_v1", "mobilenet_v2")
 
 
@@ -109,7 +119,7 @@ def run_family_seed(fam, seed):
     # lr/steps ladder: escalate steps and de-escalate lr until the float
     # referent clears 0.90 held-out top-1 (the r4 receipt's 0.617 R50
     # referent was ruled toy-scale by the verdict)
-    ladder = [(0.05, 300), (0.02, 500), (0.05, 800), (0.008, 800), (0.02, 1200)]
+    ladder = LADDER
     best = None
     for lr, steps in ladder:
         model, params, state, task = _train_once(fam, lr, steps, seed)

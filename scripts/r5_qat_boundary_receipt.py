@@ -38,12 +38,12 @@ import r5_boundary_accuracy as base  # noqa: E402  (task + trainer reused)
 
 # the reused trainer builds its model from base.CFG (module global)
 base.CFG = base.CFG.replace(qat_boundary="int8")
-SEEDS = (0, 1, 2)
+SEEDS = base.SEEDS  # honors R5_SEEDS
 FAMILIES = ("resnet18", "mobilenet_v2")
 
 
 def run(fam, seed):
-    ladder = [(0.05, 300), (0.02, 500), (0.05, 800), (0.008, 800)]
+    ladder = base.LADDER  # honors R5_LADDER
     best = None
     for lr, steps in ladder:
         model, params, state, task = base._train_once(fam, lr, steps, seed)
