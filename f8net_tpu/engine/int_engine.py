@@ -894,6 +894,11 @@ class _Walker:
         )
 
         ple, pld, plp = self.plan[en], self.plan[dn], self.plan[pn]
+        if sd.out_ch > 768:
+            # measured: the 7^2 Ce=960 block's scoped stack hits 18.3 MB at
+            # 1568 rows (chunk-count-dependent temporaries the linear model
+            # misses); the per-layer path keeps these small blocks
+            return None
         ap = self.pack_for(a, en)
         n, h, wd_, cin = ap.x.shape
         ce = sd.out_ch
